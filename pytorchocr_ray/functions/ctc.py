@@ -1,0 +1,41 @@
+"""CTC greedy decode (reference pytocr/postprocess/rec_postprocess.py:35-93).
+
+Per timestep: argmax class + its probability. Keep a step iff its argmax is
+not blank (index 0) AND (when remove_duplicate) differs from the previous
+step's argmax — the exact dedupe-then-blank selection order of the reference.
+Text = joined dict chars of kept steps; prob = mean of kept-step
+probabilities. When every step is blank the reference hits np.mean([]) = NaN;
+we return prob 0.0 for the empty text (documented deviation: NaN poisons
+Arrow/SQL comparisons).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .charset import CHARSET
+
+
+def ctc_greedy_decode(
+    probs: np.ndarray, remove_duplicate: bool = True
+) -> tuple[str, float]:
+    """probs: (T, C) post-softmax with C = 1 + len(CHARSET). -> (text, prob)."""
+    idx = probs.argmax(axis=1)
+    conf = probs[np.arange(len(idx)), idx]
+    keep = idx != 0
+    if remove_duplicate and len(idx) > 1:
+        dup = np.ones(len(idx), dtype=bool)
+        dup[1:] = idx[1:] != idx[:-1]
+        keep &= dup
+    kept = idx[keep]
+    if kept.size == 0:
+        return "", 0.0
+    text = "".join(CHARSET[i - 1] for i in kept)
+    return text, float(conf[keep].mean())
+
+
+def ctc_greedy_decode_batch(
+    probs: np.ndarray, remove_duplicate: bool = True
+) -> list[tuple[str, float]]:
+    """probs: (B, T, C) -> list of (text, prob)."""
+    return [ctc_greedy_decode(p, remove_duplicate) for p in probs]

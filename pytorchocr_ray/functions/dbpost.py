@@ -1,0 +1,239 @@
+"""DBNet-style detection post-processing, from spec, in pure numpy.
+
+Reimplements the semantics of the reference's ``DBPostProcess`` /
+``boxes_from_bitmap`` chain (reference pytocr/postprocess/db_postprocess.py:
+40-144; C++ twin db_postprocess_fast/src/db_postprocess.cpp:231-317) without
+cv2/pyclipper:
+
+  1. ``segmentation = prob_map > thresh`` (default 0.3),
+  2. connected components (8-connectivity, run-based union-find) stand in for
+     ``cv2.findContours``; components are visited in (first_row, first_col)
+     discovery order, capped at ``max_candidates`` (1000),
+  3. per component: :func:`geometry.get_mini_boxes` -> drop if
+     ``sside < min_size`` (3); score = mean prob inside the filled mini-box
+     (score_mode="box", db_postprocess.py:178-194) -> drop if
+     ``score < box_thresh`` (0.5); :func:`geometry.unclip` by
+     ``area*unclip_ratio/perimeter`` (1.5) -> get_mini_boxes again -> drop if
+     ``sside < min_size + 2``,
+  4. rescale to source coords ``round(x * src/W)`` clipped, cast **int16**
+     (db_postprocess.py:137-143).
+
+Also holds :func:`det_resize` — the ``DetResizeForTest`` analog
+(reference pytocr/data/imaug/operators.py:155-275): ratio resize bounded by
+``limit_side_len`` with H, W rounded to multiples of 32 (min 32), emitting
+``(src_h, src_w, ratio_h, ratio_w)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geometry import get_mini_boxes, unclip
+
+
+def det_resize(
+    img: np.ndarray, limit_side_len: int = 736, limit_type: str = "max"
+) -> tuple[np.ndarray, tuple[int, int, float, float]]:
+    """Resize keeping aspect, round dims to multiples of 32 (min 32).
+
+    limit_type="max": shrink so the longer side <= limit_side_len (never
+    upscales small images, the economical choice for a synthetic corpus of
+    <=736px media); "min": grow so the shorter side >= limit_side_len (the
+    reference eval default). Returns (resized, (src_h, src_w, ratio_h, ratio_w)).
+    """
+    src_h, src_w = img.shape[:2]
+    if limit_type == "max":
+        ratio = min(1.0, limit_side_len / max(src_h, src_w))
+    else:
+        ratio = max(1.0, limit_side_len / min(src_h, src_w))
+    resize_h = max(32, int(round(src_h * ratio / 32) * 32))
+    resize_w = max(32, int(round(src_w * ratio / 32) * 32))
+    if (resize_h, resize_w) == (src_h, src_w):
+        out = img
+    else:
+        out = _resize_bilinear(img, resize_h, resize_w)
+    return out, (src_h, src_w, resize_h / src_h, resize_w / src_w)
+
+
+def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize of a 2-D uint8/float image (align-corners=False)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    f = img.astype(np.float64)
+    val = (
+        f[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + f[np.ix_(y0, x1)] * (1 - fy) * fx
+        + f[np.ix_(y1, x0)] * fy * (1 - fx)
+        + f[np.ix_(y1, x1)] * fy * fx
+    )
+    if img.dtype == np.uint8:
+        return np.clip(np.round(val), 0, 255).astype(np.uint8)
+    return val.astype(img.dtype)
+
+
+def connected_components(mask: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a boolean mask via run-based union-find.
+
+    Returns one (N, 2) float64 array of (x, y) *run-endpoint* points per
+    component (leftmost + rightmost pixel of every row-run — the component's
+    convex hull support set, all min_area_rect needs), ordered by the
+    component's first (row, col) appearance.
+    """
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    runs_by_row: list[list[tuple[int, int, int]]] = []  # (start, end, run_id)
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask.astype(np.int8)
+    diffs = np.diff(padded, axis=1)
+    for y in range(h):
+        starts = np.flatnonzero(diffs[y] == 1)
+        ends = np.flatnonzero(diffs[y] == -1)
+        row_runs = []
+        prev = runs_by_row[y - 1] if y > 0 else []
+        pi = 0
+        for s, e in zip(starts, ends):
+            rid = len(parent)
+            parent.append(rid)
+            row_runs.append((int(s), int(e), rid))
+            # merge with overlapping runs in the previous row (8-conn: +/-1)
+            while pi > 0 and prev[pi - 1][1] >= s:  # step back if needed
+                pi -= 1
+            j = pi
+            while j < len(prev):
+                ps, pe, prid = prev[j]
+                if ps > e:  # strictly beyond (8-conn touch is ps <= e)
+                    break
+                if pe >= s:  # overlap or diagonal touch
+                    union(rid, prid)
+                j += 1
+            pi = max(0, j - 1)
+        runs_by_row.append(row_runs)
+
+    if not parent:
+        return []
+
+    # gather run-endpoint points per root, keep discovery (row, col) order
+    comp_points: dict[int, list[tuple[float, float]]] = {}
+    comp_order: list[int] = []
+    for y in range(h):
+        for s, e, rid in runs_by_row[y]:
+            root = find(rid)
+            if root not in comp_points:
+                comp_points[root] = []
+                comp_order.append(root)
+            comp_points[root].append((float(s), float(y)))
+            comp_points[root].append((float(e - 1), float(y)))
+    return [np.array(comp_points[r]) for r in comp_order]
+
+
+def _box_score(prob_map: np.ndarray, box: np.ndarray) -> float:
+    """Mean probability inside the filled quadrilateral (score_mode='box')."""
+    h, w = prob_map.shape
+    xmin = int(np.clip(np.floor(box[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(box[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(box[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(box[:, 1].max()), 0, h - 1))
+    if xmax < xmin or ymax < ymin:
+        return 0.0
+    xs, ys = np.meshgrid(
+        np.arange(xmin, xmax + 1), np.arange(ymin, ymax + 1)
+    )
+    inside = np.ones(xs.shape, dtype=bool)
+    for i in range(4):
+        x1, y1 = box[i]
+        x2, y2 = box[(i + 1) % 4]
+        cross = (x2 - x1) * (ys - y1) - (y2 - y1) * (xs - x1)
+        inside &= cross >= 0
+    if not inside.any():
+        return 0.0
+    return float(prob_map[ymin : ymax + 1, xmin : xmax + 1][inside].mean())
+
+
+def boxes_from_bitmap(
+    prob_map: np.ndarray,
+    src_h: int,
+    src_w: int,
+    thresh: float = 0.3,
+    box_thresh: float = 0.5,
+    max_candidates: int = 1000,
+    unclip_ratio: float = 1.5,
+    min_size: int = 3,
+) -> tuple[np.ndarray, list[float]]:
+    """prob map -> (boxes (K,4,2) int16 in source coords, scores)."""
+    height, width = prob_map.shape
+    mask = prob_map > thresh
+    comps = connected_components(mask)[:max_candidates]
+    boxes: list[np.ndarray] = []
+    scores: list[float] = []
+    for pts in comps:
+        box, sside = get_mini_boxes(pts)
+        if sside < min_size:
+            continue
+        # Axis-snap: glyph-density contours are ragged, so min_area_rect tilts
+        # a few degrees on genuinely horizontal text; when the component's
+        # axis-aligned bbox is nearly as tight as the rotated rect, prefer it
+        # (keeps downstream perspective crops exact pixel copies).
+        edge = box[1] - box[0]
+        angle = abs(np.degrees(np.arctan2(edge[1], edge[0])))
+        tilt = min(angle % 90.0, 90.0 - (angle % 90.0))
+        if tilt < 15.0:
+            xmin, ymin = pts.min(axis=0)
+            xmax, ymax = pts.max(axis=0)
+            box = np.array(
+                [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]],
+                dtype=np.float64,
+            )
+            sside = float(min(xmax - xmin, ymax - ymin))
+            if sside < min_size:
+                continue
+        # Ensure clockwise orientation for the score / unclip helpers.
+        score = _box_score(prob_map, _clockwise(box))
+        if score < box_thresh:
+            continue
+        expanded = unclip(_clockwise(box), unclip_ratio)
+        box2, sside2 = get_mini_boxes(expanded)
+        if sside2 < min_size + 2:
+            continue
+        out = box2.copy()
+        out[:, 0] = np.clip(np.round(out[:, 0] / width * src_w), 0, src_w)
+        out[:, 1] = np.clip(np.round(out[:, 1] / height * src_h), 0, src_h)
+        boxes.append(out.astype(np.int16))
+        scores.append(score)
+    if not boxes:
+        return np.zeros((0, 4, 2), dtype=np.int16), []
+    return np.array(boxes, dtype=np.int16), scores
+
+
+def _clockwise(box: np.ndarray) -> np.ndarray:
+    """Make a quad clockwise in screen coords (y down).
+
+    With shoelace sum(x_i*y_{i+1} - x_{i+1}*y_i), the screen-clockwise order
+    [tl, tr, br, bl] yields a POSITIVE signed area (y axis points down).
+    """
+    x, y = box[:, 0], box[:, 1]
+    signed = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0
+    return box if signed >= 0 else box[::-1]

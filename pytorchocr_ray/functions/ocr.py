@@ -1,0 +1,81 @@
+"""Single-image OCR composition: detect -> order -> crop -> (cls) -> recognize.
+
+This is the shared core that BOTH the Ray actor stages and the single-process
+oracle call — parity by construction. It mirrors the reference's per-image
+flow (deploy/pytorch/run_ocr.py:168-231):
+
+  decode -> DetResizeForTest -> det forward -> DBPostProcess -> sort_boxes ->
+  per box: get_part_img -> rot90 if tall -> optional cls (rotate 180) ->
+  rec forward -> CTC greedy decode -> (box, text, prob) in reading order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .ctc import ctc_greedy_decode
+from .dbpost import boxes_from_bitmap, det_resize
+from .geometry import get_part_img, maybe_rot90, sort_boxes
+from .models import ClsModel, DetModel, RecModel
+
+
+@dataclass
+class OcrConfig:
+    thresh: float = 0.3
+    box_thresh: float = 0.5
+    max_candidates: int = 1000
+    unclip_ratio: float = 1.5
+    limit_side_len: int = 736
+    limit_type: str = "max"
+    use_cls: bool = True
+
+
+class OcrEngine:
+    """Holds warm det/rec/cls models; one instance per actor / per oracle."""
+
+    def __init__(self, weights: dict[str, np.ndarray], config: OcrConfig | None = None):
+        self.cfg = config or OcrConfig()
+        self.det = DetModel(weights)
+        self.rec = RecModel(weights)
+        self.cls = ClsModel(weights)
+
+    def detect(self, gray: np.ndarray) -> np.ndarray:
+        """Image -> sorted (K, 4, 2) int16 boxes in source coords."""
+        resized, (src_h, src_w, _rh, _rw) = det_resize(
+            gray, self.cfg.limit_side_len, self.cfg.limit_type
+        )
+        prob = self.det(resized)
+        boxes, _scores = boxes_from_bitmap(
+            prob,
+            src_h,
+            src_w,
+            thresh=self.cfg.thresh,
+            box_thresh=self.cfg.box_thresh,
+            max_candidates=self.cfg.max_candidates,
+            unclip_ratio=self.cfg.unclip_ratio,
+        )
+        return sort_boxes(boxes)
+
+    def crop(self, gray: np.ndarray, box: np.ndarray) -> np.ndarray:
+        """Perspective crop + tall-rotation + optional 0/180 correction."""
+        part = maybe_rot90(get_part_img(gray, box.astype(np.float64)))
+        if self.cfg.use_cls:
+            label, _p = self.cls(part)
+            if label == "180":
+                part = np.ascontiguousarray(part[::-1, ::-1])
+        return part
+
+    def recognize(self, crop: np.ndarray) -> tuple[str, float]:
+        return ctc_greedy_decode(self.rec(crop))
+
+    def ocr_image(self, gray: np.ndarray) -> list[tuple[np.ndarray, str, float]]:
+        """Full chain on one image -> [(box (4,2) int16, text, prob), ...] in
+        reading order."""
+        out = []
+        for box in self.detect(gray):
+            crop = self.crop(gray, box)
+            text, prob = self.recognize(crop)
+            out.append((box, text, prob))
+        return out

@@ -1,0 +1,79 @@
+import numpy as np
+
+from pytorchocr_ray.functions.dbpost import (
+    boxes_from_bitmap,
+    connected_components,
+    det_resize,
+)
+
+
+def test_connected_components_basic():
+    m = np.zeros((10, 20), dtype=bool)
+    m[2:5, 2:8] = True
+    m[7:9, 12:18] = True
+    comps = connected_components(m)
+    assert len(comps) == 2
+    # discovery order: topmost first
+    assert comps[0][:, 1].min() == 2
+    assert comps[1][:, 1].min() == 7
+
+
+def test_connected_components_diagonal_touch_is_8conn():
+    m = np.zeros((4, 4), dtype=bool)
+    m[0, 0] = True
+    m[1, 1] = True
+    assert len(connected_components(m)) == 1
+
+
+def test_boxes_min_size_filter():
+    prob = np.zeros((32, 32), dtype=np.float32)
+    prob[5:7, 5:7] = 0.9  # 2x2 blob: sside < 3 -> dropped
+    boxes, scores = boxes_from_bitmap(prob, 32, 32)
+    assert len(boxes) == 0
+
+
+def test_boxes_score_filter():
+    prob = np.zeros((64, 64), dtype=np.float32)
+    prob[10:20, 10:40] = 0.4  # above thresh 0.3, below box_thresh 0.5
+    boxes, _ = boxes_from_bitmap(prob, 64, 64)
+    assert len(boxes) == 0
+    boxes, scores = boxes_from_bitmap(prob, 64, 64, box_thresh=0.35)
+    assert len(boxes) == 1 and 0.35 < scores[0] < 0.45
+
+
+def test_boxes_unclip_expansion_and_int16():
+    prob = np.zeros((64, 64), dtype=np.float32)
+    prob[20:30, 10:40] = 0.9
+    boxes, scores = boxes_from_bitmap(prob, 64, 64)
+    assert len(boxes) == 1
+    box = boxes[0]
+    assert box.dtype == np.int16
+    # unclip: 30x10 blob -> d = 1.5*area/perim ~ 5.5; expanded beyond blob
+    assert box[:, 0].min() < 10 and box[:, 0].max() > 39
+    assert box[:, 1].min() < 20 and box[:, 1].max() > 29
+
+
+def test_boxes_rescale_to_source_coords():
+    prob = np.zeros((32, 32), dtype=np.float32)
+    prob[8:16, 4:28] = 0.9
+    boxes, _ = boxes_from_bitmap(prob, 64, 64)  # src twice the map size
+    assert len(boxes) == 1
+    assert boxes[0][:, 0].max() > 50  # scaled up ~2x
+
+
+def test_max_candidates_cap():
+    prob = np.zeros((40, 400), dtype=np.float32)
+    for i in range(12):
+        prob[10:20, i * 32 : i * 32 + 20] = 0.9
+    boxes, _ = boxes_from_bitmap(prob, 40, 400, max_candidates=5)
+    assert len(boxes) == 5
+
+
+def test_det_resize_rounds_to_32():
+    img = np.zeros((100, 200), dtype=np.uint8)
+    out, (sh, sw, rh, rw) = det_resize(img)
+    assert (sh, sw) == (100, 200)
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    img2 = np.zeros((1000, 2000), dtype=np.uint8)
+    out2, _ = det_resize(img2, limit_side_len=736, limit_type="max")
+    assert max(out2.shape) <= 736 + 31
