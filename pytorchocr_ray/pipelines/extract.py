@@ -1,0 +1,120 @@
+"""The flagship extraction pipeline, Ray-Data-first (SURVEY.md §3.1).
+
+    documents ──mb──> explode spans ──mb──> normalize text spans
+              ──mb-actor──> OCR (decode → det → DB post → sort → crop →
+                            cls → rec → CTC)            [fused actor pool]
+              ── groupby(doc_id).map_groups ──> ordered span sequence
+              ──> write_parquet / Dataset
+
+One shuffle total (the doc_id groupby). Media payloads are broadcast once
+via ``ray.put`` and looked up inside the actors — no shuffle join for the
+sidecar. The split det/rec plan (``fused=False``) shows the independent
+GPU-pool topology at the cost of crop traffic.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from ..functions.ocr import OcrConfig
+from ..stages.ocr_stage import DetStage, OcrStage, RecStage
+from ..stages.reassemble import reassemble_group
+from ..stages.spans import explode_spans, normalize_text_spans
+
+
+def load_media_store(media_path: str):
+    """Read the media sidecar and broadcast it once (ray.put).
+
+    Sandbox-scale strategy: the whole payload dict fits in the object store
+    and every actor reads the same copy. At 100 TB the payloads live in a
+    hash-partitioned store and this function returns a lazy per-bucket
+    reader instead — the actor-side callsite is identical.
+    """
+    import ray
+
+    t = pq.read_table(media_path, columns=["media_ref", "data"])
+    return ray.put(dict(zip(t["media_ref"].to_pylist(), t["data"].to_pylist())))
+
+
+def default_concurrency() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus - 2)  # leave headroom for read + reassembly stages
+
+
+def extract_dataset(
+    docs_path: str,
+    media_path: str | None = None,
+    *,
+    media_ref=None,
+    weights_ref=None,
+    config: OcrConfig | None = None,
+    fused: bool = True,
+    concurrency: int | None = None,
+    batch_size: int = 16,
+    pre_filter=None,
+):
+    """Build the lazy extraction Dataset (flat EXTRACTED_FLAT rows).
+
+    ``pre_filter``: optional vectorized batch->batch function applied to the
+    documents table right after the read (the partitioned runner injects its
+    bucket filter here; at scale this is replaced by reading only the
+    partition's files).
+    """
+    import ray.data as rd
+
+    from ..state.weights import put_weights
+
+    if media_ref is None and media_path is not None:
+        media_ref = load_media_store(media_path)
+    if weights_ref is None:
+        weights_ref = put_weights()
+    conc = concurrency or default_concurrency()
+
+    ds = rd.read_parquet(docs_path)
+    if pre_filter is not None:
+        ds = ds.map_batches(pre_filter, batch_format="pyarrow")
+    ds = ds.map_batches(explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(normalize_text_spans, batch_format="pyarrow")
+    if fused:
+        ds = ds.map_batches(
+            OcrStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=conc,
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "weights_ref": weights_ref,
+                "media_ref": media_ref,
+                "config": config,
+            },
+        )
+    else:
+        det_conc = max(1, conc // 2)
+        rec_conc = max(1, conc - det_conc)
+        ds = ds.map_batches(
+            DetStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=det_conc,
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "weights_ref": weights_ref,
+                "media_ref": media_ref,
+                "config": config,
+            },
+        )
+        ds = ds.map_batches(
+            RecStage,
+            batch_format="pyarrow",
+            batch_size=max(batch_size * 4, 64),
+            concurrency=rec_conc,
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "weights_ref": weights_ref,
+                "config": config,
+            },
+        )
+    ds = ds.select_columns(["doc_id", "offset", "region_idx", "kind", "text", "media_ref"])
+    return ds.groupby("doc_id").map_groups(reassemble_group, batch_format="pyarrow")

@@ -1,0 +1,228 @@
+"""Partitioned, resumable extraction runs (north-rule requirements).
+
+* **Explicit partitioning**: ``bucket = stable_hash(doc_id) % B`` (pandas'
+  process-stable 64-bit string hash, never Python's salted ``hash``).
+* **Skew-aware split**: a planning scan pre-aggregates media-span counts per
+  bucket (partial agg inside map_batches -> tiny groupby); buckets above
+  ``skew_factor x mean`` are split into sub-partitions by a secondary hash
+  so one media-heavy bucket cannot straggle the run.
+* **Checkpoint / resume**: each partition's output is written to a temp dir,
+  atomically renamed to ``part=<b>.<s>``, then a ``_COMMITTED_<b>_<s>.json``
+  marker with the lineage record (input span count, OCR'd region count,
+  checksum) is written. A restarted run lists markers and schedules only
+  uncommitted partitions — the batch-pipeline form of the reference's
+  epoch checkpoints (pytocr/utils/save_load.py:104-129, tools/program.py:387-410).
+
+At 100 TB the documents table is stored hash-partitioned by this same bucket
+column, so each partition job reads only its own files; in the sandbox each
+job re-reads the small parquet and filters, which keeps the semantics
+identical while the read cost is negligible next to OCR compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.ocr import OcrConfig
+from .extract import extract_dataset
+
+
+def stable_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (pd.util.hash_array(ids.astype(object)) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+
+
+def stable_subpart(ids: np.ndarray, n_buckets: int, n_subs: int) -> np.ndarray:
+    h = pd.util.hash_array(ids.astype(object))
+    return ((h // np.uint64(n_buckets)) % np.uint64(n_subs)).astype(np.int64)
+
+
+@dataclass
+class Partition:
+    bucket: int
+    sub: int
+    n_subs: int
+    planned_docs: int
+    planned_media_spans: int
+
+    @property
+    def name(self) -> str:
+        return f"part={self.bucket}.{self.sub}"
+
+    @property
+    def marker(self) -> str:
+        return f"_COMMITTED_{self.bucket}_{self.sub}.json"
+
+
+def plan_partitions(
+    docs_path: str, n_buckets: int, skew_factor: float = 2.0
+) -> list[Partition]:
+    """Planning scan: per-bucket doc + media-span counts (pre-aggregated per
+    batch inside map_batches, then a tiny groupby over <= B rows per block)."""
+    import ray.data as rd
+
+    def per_batch_counts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        buckets = stable_bucket(ids, n_buckets)
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        kinds = pc.struct_field(pc.list_flatten(spans), "kind")
+        parent = pc.list_parent_indices(spans).to_numpy()
+        is_media = pc.equal(kinds, "media").to_numpy(zero_copy_only=False)
+        media_per_doc = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(media_per_doc, parent[is_media], 1)
+        df = pd.DataFrame({"bucket": buckets, "media": media_per_doc, "docs": 1})
+        agg = df.groupby("bucket", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(docs_path)
+        .map_batches(per_batch_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", as_index=False)
+        .sum()
+    )
+    by_bucket = {int(r.bucket): (int(r.docs), int(r.media)) for r in parts.itertuples()}
+    mean_media = max(1.0, np.mean([m for _, m in by_bucket.values()] or [1]))
+    out: list[Partition] = []
+    for b in range(n_buckets):
+        docs, media = by_bucket.get(b, (0, 0))
+        if docs == 0:
+            continue
+        n_subs = 1
+        if media > skew_factor * mean_media:
+            n_subs = int(np.ceil(media / mean_media))
+        for s in range(n_subs):
+            out.append(Partition(b, s, n_subs, docs, media))
+    return out
+
+
+def _partition_filter(n_buckets: int, part: Partition):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        mask = stable_bucket(ids, n_buckets) == part.bucket
+        if part.n_subs > 1:
+            mask &= stable_subpart(ids, n_buckets, part.n_subs) == part.sub
+        return batch.filter(pa.array(mask))
+
+    return fn
+
+
+def result_checksum(df: pd.DataFrame) -> str:
+    """Order-insensitive deterministic checksum of the extracted rows."""
+    canon = df[["doc_id", "order", "kind", "text", "media_ref"]].sort_values(
+        ["doc_id", "order"]
+    )
+    h = pd.util.hash_pandas_object(canon.reset_index(drop=True), index=False)
+    return hex(int(h.sum() & np.uint64(0xFFFFFFFFFFFFFFFF)))
+
+
+def run_partitioned(
+    docs_path: str,
+    media_path: str,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    skew_factor: float = 2.0,
+    resume: bool = True,
+    config: OcrConfig | None = None,
+    concurrency: int | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Run extraction partition-by-partition with commit markers.
+
+    Returns a summary: partitions run / skipped, total rows, lineage list.
+    ``fail_after=k`` injects a crash after k partitions commit (resume tests).
+    """
+    from .extract import load_media_store
+    from ..state.weights import put_weights
+
+    os.makedirs(out_dir, exist_ok=True)
+    parts = plan_partitions(docs_path, n_buckets, skew_factor)
+    media_ref = load_media_store(media_path)
+    weights_ref = put_weights()
+
+    ran, skipped, lineage = [], [], []
+    for part in parts:
+        marker_path = os.path.join(out_dir, part.marker)
+        if resume and os.path.exists(marker_path):
+            skipped.append(part.name)
+            continue
+        ds = extract_dataset(
+            docs_path,
+            media_ref=media_ref,
+            weights_ref=weights_ref,
+            config=config,
+            concurrency=concurrency,
+            pre_filter=_partition_filter(n_buckets, part),
+        )
+        df = ds.to_pandas()
+        final = os.path.join(out_dir, part.name)
+        tmp = os.path.join(out_dir, f"_tmp_{part.bucket}_{part.sub}")
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        pa_tbl = pa.Table.from_pandas(df, preserve_index=False)
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa_tbl, os.path.join(tmp, "data.parquet"))
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        record = {
+            "partition": part.name,
+            "bucket": part.bucket,
+            "sub": part.sub,
+            "n_subs": part.n_subs,
+            "planned_docs": part.planned_docs,
+            "planned_media_spans": part.planned_media_spans,
+            "output_rows": int(len(df)),
+            "output_docs": int(df["doc_id"].nunique()),
+            "ocr_regions": int((df["kind"] == "media").sum()),
+            "checksum": result_checksum(df),
+        }
+        tmp_marker = marker_path + ".tmp"
+        with open(tmp_marker, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp_marker, marker_path)
+        lineage.append(record)
+        ran.append(part.name)
+        if fail_after is not None and len(ran) >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} partitions")
+    return {
+        "ran": ran,
+        "skipped": skipped,
+        "lineage": lineage,
+        "out_dir": out_dir,
+        "n_partitions": len(parts),
+    }
+
+
+def read_extracted(out_dir: str) -> pd.DataFrame:
+    """Read all committed partitions back as one DataFrame."""
+    import pyarrow.parquet as pq
+
+    frames = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("_COMMITTED_"):
+            continue
+        with open(os.path.join(out_dir, name)) as f:
+            rec = json.load(f)
+        pdir = os.path.join(out_dir, rec["partition"])
+        frames.append(pq.read_table(pdir).to_pandas())
+    if not frames:
+        return pd.DataFrame(columns=["doc_id", "order", "kind", "text", "media_ref"])
+    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,247 @@
+"""Stateful OCR stages (actor pools) — the map_batches callable classes.
+
+Two physical plans over the same logical stages:
+
+* **Fused** (:class:`OcrStage`, default on CPU clusters): decode -> det
+  forward -> DB postprocess -> sort -> crop -> cls -> rec -> decode all in
+  one actor pool. Avoids shipping decoded images / prob maps through the
+  object store; right when every stage runs on the same resource type.
+* **Split** (:class:`DetStage` + :class:`RecStage`): det actors emit raw
+  crop rows (binary + dims), rec actors consume them — the reference's
+  GPU-pool split (det pool and rec pool scale independently,
+  SURVEY.md §2.4). Use when det runs on a different resource
+  (num_gpus) than rec, at the cost of crop traffic between pools.
+
+Weights arrive as a ``ray.put`` ObjectRef broadcast once from the driver
+(zero-copy object-store read per node) — mirroring the reference's
+load-once-per-process ``OCRer.__init__`` (deploy/pytorch/run_ocr.py:51-165).
+Media payload lookup is pluggable: a broadcast dict at sandbox scale; at
+100 TB the same callsite reads a hash-partitioned payload store instead.
+
+Per-batch recognition loops over media rows on purpose: each iteration is a
+full model inference (FFT conv over an image), not a row-wise scalar op —
+this is the batched-model-call pattern, not a hot Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.ctc import ctc_greedy_decode
+from ..functions.ocr import OcrConfig, OcrEngine
+from ..functions.png import decode_gray
+from ..state.weights import build_weights
+
+OCR_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("offset", pa.int32()),
+        ("region_idx", pa.int32()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("prob", pa.float32()),
+        ("box", pa.list_(pa.int16())),
+    ]
+)
+
+
+def _get(maybe_ref):
+    import ray
+
+    if isinstance(maybe_ref, ray.ObjectRef):
+        return ray.get(maybe_ref)
+    return maybe_ref
+
+
+class _Collector:
+    """Accumulates output rows and renders one Arrow table per batch."""
+
+    def __init__(self):
+        self.doc_id: list[str] = []
+        self.offset: list[int] = []
+        self.region_idx: list[int] = []
+        self.kind: list[str] = []
+        self.text: list[str] = []
+        self.media_ref: list[str] = []
+        self.prob: list[float | None] = []
+        self.box: list[list[int] | None] = []
+
+    def add(self, doc_id, offset, region_idx, kind, text, media_ref, prob, box):
+        self.doc_id.append(doc_id)
+        self.offset.append(offset)
+        self.region_idx.append(region_idx)
+        self.kind.append(kind)
+        self.text.append(text)
+        self.media_ref.append(media_ref)
+        self.prob.append(prob)
+        self.box.append(box)
+
+    def table(self) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(self.doc_id, pa.string()),
+                "offset": pa.array(self.offset, pa.int32()),
+                "region_idx": pa.array(self.region_idx, pa.int32()),
+                "kind": pa.array(self.kind, pa.string()),
+                "text": pa.array(self.text, pa.string()),
+                "media_ref": pa.array(self.media_ref, pa.string()),
+                "prob": pa.array(self.prob, pa.float32()),
+                "box": pa.array(self.box, pa.list_(pa.int16())),
+            },
+            schema=OCR_OUT_SCHEMA,
+        )
+
+
+class OcrStage:
+    """Fused decode+det+post+crop+cls+rec actor. Input: exploded span rows;
+    output: text rows passed through + one row per OCR'd region."""
+
+    def __init__(self, weights_ref=None, media_ref=None, config: OcrConfig | None = None):
+        w = _get(weights_ref) if weights_ref is not None else build_weights()
+        self.engine = OcrEngine(w, config)
+        self.media: dict[str, bytes] = _get(media_ref) if media_ref is not None else {}
+
+    def lookup(self, ref: str) -> bytes | None:
+        return self.media.get(ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _Collector()
+        kinds = batch["kind"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        offsets = batch["offset"].to_pylist()
+        for i, kind in enumerate(kinds):
+            if kind != "media":
+                out.add(doc_ids[i], offsets[i], 0, kind, texts[i], "", None, None)
+                continue
+            data = self.lookup(refs[i])
+            gray = decode_gray(data) if data is not None else None
+            if gray is None:
+                continue  # DecodeImage contract: undecodable -> drop row
+            for ridx, (box, text, prob) in enumerate(self.engine.ocr_image(gray)):
+                out.add(
+                    doc_ids[i],
+                    offsets[i],
+                    ridx,
+                    "media",
+                    text,
+                    refs[i],
+                    prob,
+                    box.reshape(-1).tolist(),
+                )
+        return out.table()
+
+
+class DetStage:
+    """Split plan, stage 1: media rows -> crop rows; text rows pass through
+    with crop fields null. Output adds (crop: binary raw uint8, crop_h, crop_w)."""
+
+    def __init__(self, weights_ref=None, media_ref=None, config: OcrConfig | None = None):
+        w = _get(weights_ref) if weights_ref is not None else build_weights()
+        cfg = config or OcrConfig()
+        # cls runs in RecStage; detection itself never rotates
+        self.engine = OcrEngine(w, cfg)
+        self.media: dict[str, bytes] = _get(media_ref) if media_ref is not None else {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {
+            "doc_id": [],
+            "offset": [],
+            "region_idx": [],
+            "kind": [],
+            "text": [],
+            "media_ref": [],
+            "box": [],
+            "crop": [],
+            "crop_h": [],
+            "crop_w": [],
+        }
+
+        def add(doc, off, ridx, kind, text, ref, box, crop):
+            rows["doc_id"].append(doc)
+            rows["offset"].append(off)
+            rows["region_idx"].append(ridx)
+            rows["kind"].append(kind)
+            rows["text"].append(text)
+            rows["media_ref"].append(ref)
+            rows["box"].append(box)
+            if crop is None:
+                rows["crop"].append(None)
+                rows["crop_h"].append(0)
+                rows["crop_w"].append(0)
+            else:
+                rows["crop"].append(crop.tobytes())
+                rows["crop_h"].append(crop.shape[0])
+                rows["crop_w"].append(crop.shape[1])
+
+        for i, kind in enumerate(batch["kind"].to_pylist()):
+            doc = batch["doc_id"][i].as_py()
+            off = batch["offset"][i].as_py()
+            if kind != "media":
+                add(doc, off, 0, kind, batch["text"][i].as_py(), "", None, None)
+                continue
+            ref = batch["media_ref"][i].as_py()
+            data = self.media.get(ref)
+            gray = decode_gray(data) if data is not None else None
+            if gray is None:
+                continue
+            from ..functions.geometry import get_part_img, maybe_rot90
+
+            for ridx, box in enumerate(self.engine.detect(gray)):
+                crop = maybe_rot90(get_part_img(gray, box.astype(np.float64)))
+                add(doc, off, ridx, "media", "", ref, box.reshape(-1).tolist(), crop)
+
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "offset": pa.array(rows["offset"], pa.int32()),
+                "region_idx": pa.array(rows["region_idx"], pa.int32()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "text": pa.array(rows["text"], pa.string()),
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "box": pa.array(rows["box"], pa.list_(pa.int16())),
+                "crop": pa.array(rows["crop"], pa.binary()),
+                "crop_h": pa.array(rows["crop_h"], pa.int32()),
+                "crop_w": pa.array(rows["crop_w"], pa.int32()),
+            }
+        )
+
+
+class RecStage:
+    """Split plan, stage 2: crop rows -> recognized rows (OCR_OUT_SCHEMA)."""
+
+    def __init__(self, weights_ref=None, config: OcrConfig | None = None):
+        w = _get(weights_ref) if weights_ref is not None else build_weights()
+        self.engine = OcrEngine(w, config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _Collector()
+        kinds = batch["kind"].to_pylist()
+        for i, kind in enumerate(kinds):
+            doc = batch["doc_id"][i].as_py()
+            off = batch["offset"][i].as_py()
+            if kind != "media":
+                out.add(doc, off, 0, kind, batch["text"][i].as_py(), "", None, None)
+                continue
+            h = batch["crop_h"][i].as_py()
+            w = batch["crop_w"][i].as_py()
+            crop = np.frombuffer(batch["crop"][i].as_py(), dtype=np.uint8).reshape(h, w)
+            if self.engine.cfg.use_cls:
+                label, _p = self.engine.cls(crop)
+                if label == "180":
+                    crop = np.ascontiguousarray(crop[::-1, ::-1])
+            text, prob = ctc_greedy_decode(self.engine.rec(crop))
+            out.add(
+                doc,
+                off,
+                batch["region_idx"][i].as_py(),
+                "media",
+                text,
+                batch["media_ref"][i].as_py(),
+                prob,
+                batch["box"][i].as_py(),
+            )
+        return out.table()

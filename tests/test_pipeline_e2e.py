@@ -1,0 +1,65 @@
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+def _golden(corpus_dir):
+    from pytorchocr_ray.oracle.extract import oracle_extract
+
+    docs = pq.read_table(os.path.join(corpus_dir, "documents.parquet"))
+    media_t = pq.read_table(os.path.join(corpus_dir, "media.parquet"))
+    media = dict(zip(media_t["media_ref"].to_pylist(), media_t["data"].to_pylist()))
+    return oracle_extract(docs, media)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[["doc_id", "order", "kind", "text", "media_ref"]]
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def golden(small_corpus):
+    return _canon(_golden(small_corpus).to_pandas())
+
+
+def test_fused_pipeline_matches_oracle(ray_session, small_corpus, golden):
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+
+    ds = extract_dataset(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        concurrency=2,
+    )
+    got = _canon(ds.to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
+
+
+def test_split_pipeline_matches_oracle(ray_session, small_corpus, golden):
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+
+    ds = extract_dataset(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        fused=False,
+        concurrency=2,
+    )
+    got = _canon(ds.to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
+
+
+def test_pipeline_deterministic_across_batch_sizes(ray_session, small_corpus, golden):
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+
+    ds = extract_dataset(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        concurrency=3,
+        batch_size=5,
+    )
+    got = _canon(ds.to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
