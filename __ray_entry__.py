@@ -1,44 +1,103 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself; nothing here (or in the library) calls
+``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship interleaved-corpus extraction at sf0.001 scale.
+* ``queries()`` — every implemented operator/pipeline (SURVEY.md §2 +
+  training-data ops), each a callable of ``sf_dir``.
+* ``oracle_sql()`` — DuckDB twins for the SQL-expressible subset; the OCR
+  pipeline and sketch-based ops are genuinely non-SQL-expressible (model
+  inference / signatures) and get rows-only checks.
+
+The interleaved corpus itself is synthesized deterministically per sf_dir
+(seed fixed, cached under /tmp) because the BASELINE input_hint's
+``documents(doc_id, spans[])`` shape does not exist in the TPC-H-ish
+testdata; its size scales with the sf's documents row count.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SEED = 42
+
+
+def _corpus_for(sf_dir: str) -> str:
+    """Deterministic synthetic interleaved corpus sized to the sf_dir."""
+    import pyarrow.parquet as pq
+
+    from pytorchocr_ray.synth.generate import generate_corpus_ray
+
+    n_rows = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_docs = max(50, n_rows)
+    out = f"/tmp/pytorchocr_ray_corpus/n{n_docs}_s{_SEED}"
+    return generate_corpus_ray(out, n_docs=n_docs, seed=_SEED)
+
+
+def _extract(sf_dir: str, **kw) -> Any:
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+
+    corpus = _corpus_for(sf_dir)
+    return extract_dataset(
+        os.path.join(corpus, "documents"),
+        os.path.join(corpus, "media"),
+        **kw,
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scaled interleaved corpus."""
+    return _extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (non-SQL: model inference) — rows-only check
+        "extract_interleaved": _extract,
+        "extract_split_plan": lambda sf: _extract(sf, fused=False),
+        # text analysis
+        "normalize_docs": textstats.normalize_docs,
+        "doc_stats": textstats.doc_stats,
+        "lang_id": textstats.lang_id,
+        "term_freq": textstats.term_freq,
+        "fingerprint": textstats.fingerprint,  # rows-only (rolling hash)
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_pairs": dedup.minhash_pairs,  # rows-only (sketch)
+        "simhash_pairs": dedup.simhash_pairs,  # rows-only (sketch)
+        "embedding_neardup": dedup.embedding_neardup,  # rows-only (LSH)
+        # similarity search
+        "simsearch_topk": simsearch.topk_bruteforce,
+        "simsearch_ivf": simsearch.topk_ivf,  # rows-only (ANN)
+        # relational coverage
+        "q1_pricing": relational.q1_pricing,
+        "revenue_by_segment": relational.revenue_by_segment,
+        "top_customers": relational.top_customers,
+        "events_hourly": relational.events_hourly,
+        "user_activity": relational.user_activity,
+        "supplier_nation": relational.supplier_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
+
+    return {
+        "normalize_docs": textstats.NORMALIZE_DOCS_SQL,
+        "doc_stats": textstats.DOC_STATS_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "term_freq": textstats.term_freq_sql(),
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "simsearch_topk": simsearch.topk_bruteforce_sql(),
+        "q1_pricing": relational.Q1_SQL,
+        "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
+        "top_customers": relational.top_customers_sql(),
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "user_activity": relational.USER_ACTIVITY_SQL,
+        "supplier_nation": relational.SUPPLIER_NATION_SQL,
+    }

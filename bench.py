@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline interleaved-extraction pipeline plus representative ops
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line:
+
+  {"metric": "e2e_extract_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling`` re-runs the harness in two fresh subprocesses (num_cpus=8 and
+32) on the same input and reports throughput at both plus scaling
+efficiency = (t_8 / t_32) / (32 / 8); it also refreshes the measured-results
+section in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+    from pytorchocr_ray.synth.generate import generate_corpus_ray
+
+    n_docs = corpus_docs_for(SF_DIR)
+    corpus = generate_corpus_ray(
+        f"/tmp/pytorchocr_ray_corpus/n{n_docs}_s42", n_docs=n_docs, seed=42
+    )
+
+    # warm the page cache (untimed): one pass over the inputs
+    import pyarrow.parquet as pq
+
+    for name in ("lineitem", "documents", "embeddings", "events"):
+        pq.read_table(os.path.join(SF_DIR, f"{name}.parquet"))
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out_dir = "/tmp/bench_extract_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def run_extract():
+        ds = extract_dataset(
+            os.path.join(corpus, "documents"),
+            os.path.join(corpus, "media"),
+        )
+        ds.write_parquet(out_dir)
+
+    timed("extract", run_extract)
+    timed("q1_pricing", lambda: relational.q1_pricing(SF_DIR).to_pandas())
+    timed("dedup_exact", lambda: dedup_exact_count(dedup, SF_DIR))
+    timed("minhash_pairs", lambda: dedup.minhash_pairs(SF_DIR).num_rows)
+    timed("simsearch_topk", lambda: simsearch.topk_bruteforce(SF_DIR).to_pandas())
+    timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
+    timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())
+    timed("doc_stats", lambda: textstats.doc_stats(SF_DIR).to_pandas())
+
+    extract_sec = timings["extract"]
+    result = {
+        "metric": "e2e_extract_sec",
+        "value": extract_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def dedup_exact_count(dedup, sf_dir):
+    return dedup.dedup_exact(sf_dir).count()
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    res = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "n_docs": hi["n_docs"],
+        "sf": SF_DIR,
+    }
+    _update_baseline_md(res, lo, hi)
+    return res
+
+
+def _update_baseline_md(res: dict, lo: dict, hi: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    marker = "## Measured results (bench.py --scaling)"
+    block = f"""{marker}
+
+| metric | value |
+|---|---|
+| corpus | {res['n_docs']} interleaved docs (seed 42) from {res['sf']} |
+| extract sec @ {res['cpus_lo']} cpus | {res['sec_lo']} ({res['docs_per_sec_lo']} docs/s) |
+| extract sec @ {res['cpus_hi']} cpus | {res['sec_hi']} ({res['docs_per_sec_hi']} docs/s) |
+| scaling efficiency ({res['cpus_lo']}->{res['cpus_hi']}) | {res['value']} |
+
+Per-query seconds @ {res['cpus_hi']} cpus: `{json.dumps(hi['queries'])}`
+Per-query seconds @ {res['cpus_lo']} cpus: `{json.dumps(lo['queries'])}`
+"""
+    try:
+        with open(path) as f:
+            text = f.read()
+        if marker in text:
+            text = text[: text.index(marker)].rstrip() + "\n\n" + block
+        else:
+            text = text.rstrip() + "\n\n" + block
+        with open(path, "w") as f:
+            f.write(text)
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,284 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+Demonstrates the engine's generic query shapes with exact DuckDB oracles:
+pre-aggregated groupby (q1), broadcast hash join (revenue by segment),
+sort+limit top-k, distinct counting, and event-time windowed aggregation.
+Float aggregates are rounded to 2 decimals on BOTH sides (sum order differs
+between engines; doubles carry ~15 digits so cents-rounding is stable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import read
+
+
+def _round2(col):
+    return pc.round(col, ndigits=2)
+
+
+def q1_pricing(sf_dir: str):
+    """Pricing summary: per-batch partial aggregation -> tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": _round2(batch["sum_qty"]),
+                "sum_base_price": _round2(batch["sum_base_price"]),
+                "sum_disc_price": _round2(batch["sum_disc_price"]),
+                "count_order": pc.cast(batch["count_order"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_segment(sf_dir: str):
+    """orders x customer broadcast hash join -> revenue per market segment.
+    The customer side is ray.put once; each batch does a vectorized pandas
+    merge against it — no shuffle join for a dimension table."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    cust_ref = ray.put(cust)
+
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        df = batch.to_pandas().merge(
+            c, left_on="o_custkey", right_on="c_custkey", how="inner"
+        )
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(join_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "revenue": _round2(batch["revenue"]),
+                "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """sort + limit: top-k customers by account balance."""
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("c_acctbal"),
+            "c_acctbal",
+            _round2(batch["c_acctbal"]),
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def top_customers_sql(k: int = 10) -> str:
+    return f"""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT {k}
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Event-time tumbling window (1h) aggregate — Ray Data has no native
+    windows, so the window key is computed vectorized per batch and the
+    aggregation is a plain groupby (ray_guide streaming-shaped pattern)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # window key as epoch seconds (int64) — engine-neutral, avoids
+        # timestamp-unit mismatches between Arrow and DuckDB outputs
+        df["hour"] = (
+            df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        ).astype(np.int64)
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": batch["hour"],
+                "n": pc.cast(batch["n"], pa.int64()),
+                "sum_value": _round2(batch["sum_value"]),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def user_activity(sf_dir: str):
+    """Per-user activity profile incl. a distinct count (exact, per-group)."""
+    ds = read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_events": [np.int64(len(group))],
+                "n_types": [np.int64(group["event_type"].nunique())],
+                "sum_value": [round(float(group["value"].sum()), 2)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_group, batch_format="pandas")
+
+
+USER_ACTIVITY_SQL = """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def supplier_nation(sf_dir: str):
+    """supplier x nation broadcast join -> per-nation supplier stats."""
+    import ray
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nation_ref = ray.put(nation)
+
+    ds = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def join_stage(batch: pa.Table) -> pa.Table:
+        n = ray.get(nation_ref)
+        df = batch.to_pandas().merge(
+            n, left_on="s_nationkey", right_on="n_nationkey", how="inner"
+        )
+        g = df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), sum_acctbal=("s_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(join_stage, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("sum_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "n_suppliers": pc.cast(batch["n_suppliers"], pa.int64()),
+                "sum_acctbal": _round2(batch["sum_acctbal"]),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SUPPLIER_NATION_SQL = """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""

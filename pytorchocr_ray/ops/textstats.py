@@ -1,0 +1,199 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Each operator is a vectorized ``map_batches`` stage; the matching DuckDB SQL
+(used by the driver-side oracle) is defined next to it so the two can never
+drift apart silently. Token regex and stopword lists are shared constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text_norm import NORMALIZE_SQL, normalize_column
+from . import read
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+# language-ID stopword lists (tiny n-gram-free heuristic; the SQL twin
+# reproduces the exact same scoring, ties broken by this fixed order)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "los", "las", "y", "es", "un"],
+}
+CJK_RE = "[\\x{4e00}-\\x{9fff}]"  # RE2 syntax used by both pyarrow and duckdb
+
+
+def _count_re(col, pattern: str):
+    return pc.count_substring_regex(col, pattern)
+
+
+def normalize_docs(sf_dir: str):
+    """(doc_id, norm_text) — the boilerplate-strip/normalization map."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "norm_text": normalize_column(batch["text"])}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+NORMALIZE_DOCS_SQL = (
+    "SELECT doc_id, " + NORMALIZE_SQL.format(col="text") + " AS norm_text "
+    "FROM documents"
+)
+
+
+def doc_stats(sf_dir: str):
+    """(doc_id, n_chars, n_tokens, n_stop, quality) — quality scoring
+    (length + stopword signals), all-integer outputs for stable comparison."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_pat = "\\b(" + "|".join(LANG_STOPWORDS["en"]) + ")\\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        n_tokens = _count_re(text, TOKEN_RE)
+        n_stop = _count_re(text, stop_pat)
+        quality = pc.and_(
+            pc.and_(pc.greater_equal(n_tokens, 5), pc.less_equal(n_tokens, 100000)),
+            pc.greater(n_stop, 0),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_stop": pc.cast(n_stop, pa.int64()),
+                "quality": pc.cast(quality, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+DOC_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+       len(regexp_extract_all(text, '\\b({"|".join(LANG_STOPWORDS["en"])})\\b')) AS n_stop,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) BETWEEN 5 AND 100000
+            AND len(regexp_extract_all(text, '\\b({"|".join(LANG_STOPWORDS["en"])})\\b')) > 0
+            AS BIGINT) AS quality
+FROM documents
+"""
+
+
+def lang_id(sf_dir: str):
+    """(doc_id, pred_lang) — stopword-hit argmax with fixed tie order
+    en > de > fr > es > zh > und."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        scores = {}
+        for lang, words in LANG_STOPWORDS.items():
+            pat = "\\b(" + "|".join(words) + ")\\b"
+            scores[lang] = _count_re(text, pat).to_numpy(zero_copy_only=False)
+        scores["zh"] = _count_re(text, CJK_RE).to_numpy(zero_copy_only=False)
+        order = ["en", "de", "fr", "es", "zh"]
+        mat = np.stack([scores[l] for l in order], axis=1)
+        best = mat.argmax(axis=1)  # first max wins = fixed tie order
+        pred = np.array(order, dtype=object)[best]
+        pred[mat.max(axis=1) == 0] = "und"
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(pred, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = "|".join(LANG_STOPWORDS[lang])
+    return f"len(regexp_extract_all(text, '\\b({words})\\b'))"
+
+
+LANG_ID_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         {_lang_count_sql("en")} AS en, {_lang_count_sql("de")} AS de,
+         {_lang_count_sql("fr")} AS fr, {_lang_count_sql("es")} AS es,
+         len(regexp_extract_all(text, '{CJK_RE}')) AS zh
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+            WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+            WHEN fr >= es AND fr >= zh THEN 'fr'
+            WHEN es >= zh THEN 'es'
+            ELSE 'zh' END AS pred_lang
+FROM c
+"""
+
+
+def term_freq(sf_dir: str, k: int = 20):
+    """Top-k corpus tokens: per-batch partial counts (map_batches) -> small
+    groupby sum -> sort/limit. The canonical pre-aggregate-then-shuffle shape."""
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # tokenize by splitting on non-token chars (== extracting TOKEN_RE
+        # matches), then count within the batch — all Arrow kernels
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], "[^A-Za-z0-9]+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def term_freq_sql(k: int = 20) -> str:
+    return f"""
+SELECT t AS token, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS t FROM documents)
+GROUP BY t ORDER BY cnt DESC, token ASC LIMIT {k}
+"""
+
+
+def fingerprint(sf_dir: str):
+    """(doc_id, fp) — 63-bit polynomial rolling hash over the token stream
+    (document fingerprinting; no SQL twin — rows-only check)."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    MOD = np.uint64((1 << 61) - 1)
+    BASE = np.uint64(1099511628211)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fps = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = pd.Series(t.split()) if t else pd.Series([], dtype=object)
+            hs = pd.util.hash_array(toks.to_numpy(dtype=object)) if len(toks) else np.array([], dtype=np.uint64)
+            acc = np.uint64(0)
+            for h in hs:
+                acc = (acc * BASE + np.uint64(h)) % MOD
+            fps[i] = acc
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp": pa.array(fps.astype(np.int64))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
