@@ -39,3 +39,29 @@ def ctc_greedy_decode_batch(
 ) -> list[tuple[str, float]]:
     """probs: (B, T, C) -> list of (text, prob)."""
     return [ctc_greedy_decode(p, remove_duplicate) for p in probs]
+
+
+# Attention-head decode (reference AttnLabelDecode,
+# pytocr/postprocess/rec_postprocess.py:128-198): the class alphabet is
+# framed as [sos, charset..., eos]; greedy argmax per step, stop at eos,
+# no blank/dedupe semantics.
+ATTN_SOS = 0
+ATTN_EOS = len(CHARSET) + 1
+
+
+def attn_greedy_decode(probs: np.ndarray) -> tuple[str, float]:
+    """probs: (T, C) with C = len(CHARSET) + 2 ([sos] + chars + [eos])."""
+    idx = probs.argmax(axis=1)
+    conf = probs[np.arange(len(idx)), idx]
+    chars: list[str] = []
+    confs: list[float] = []
+    for i, c in zip(idx, conf):
+        if i == ATTN_EOS:
+            break
+        if i == ATTN_SOS:
+            continue
+        chars.append(CHARSET[i - 1])
+        confs.append(float(c))
+    if not chars:
+        return "", 0.0
+    return "".join(chars), float(np.mean(confs))

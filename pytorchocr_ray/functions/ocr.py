@@ -30,6 +30,7 @@ class OcrConfig:
     limit_side_len: int = 736
     limit_type: str = "max"
     use_cls: bool = True
+    det_postprocess: str = "db"  # "db" (DBPostProcess) | "pse" (PSE-style)
 
 
 class OcrEngine:
@@ -46,16 +47,36 @@ class OcrEngine:
         resized, (src_h, src_w, _rh, _rw) = det_resize(
             gray, self.cfg.limit_side_len, self.cfg.limit_type
         )
-        prob = self.det(resized)
-        boxes, _scores = boxes_from_bitmap(
-            prob,
-            src_h,
-            src_w,
-            thresh=self.cfg.thresh,
-            box_thresh=self.cfg.box_thresh,
-            max_candidates=self.cfg.max_candidates,
-            unclip_ratio=self.cfg.unclip_ratio,
-        )
+        # work in the pre-activation domain: binarize smooth directly and
+        # activate only inside candidate boxes (identical results, no
+        # full-image sigmoid — the stage is memory-bandwidth bound)
+        smooth = self.det.smooth(resized)
+        if self.cfg.det_postprocess == "pse":
+            from .psepost import pse_boxes_from_smooth
+
+            t = self.det.smooth_threshold(self.cfg.thresh)
+            boxes, _scores = pse_boxes_from_smooth(
+                smooth,
+                self.det.activate,
+                src_h,
+                src_w,
+                thresh_levels=(t + 0.04, t + 0.02, t),
+                score_thresh=self.cfg.box_thresh,
+            )
+        else:
+            boxes, _scores = boxes_from_bitmap(
+                smooth,
+                src_h,
+                src_w,
+                thresh=self.cfg.thresh,
+                box_thresh=self.cfg.box_thresh,
+                max_candidates=self.cfg.max_candidates,
+                unclip_ratio=self.cfg.unclip_ratio,
+                pre_activation=(
+                    self.det.activate,
+                    self.det.smooth_threshold(self.cfg.thresh),
+                ),
+            )
         return sort_boxes(boxes)
 
     def crop(self, gray: np.ndarray, box: np.ndarray) -> np.ndarray:

@@ -101,19 +101,39 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        sigs = []
+        # vectorize across the whole batch: hash every shingle once, then
+        # segmented min per document (np.minimum.reduceat)
+        all_sh: list[str] = []
+        bounds = [0]
         for t in texts:
-            sh = _token_ngrams(t, self.ngram)
-            hs = (
-                pd.util.hash_array(np.asarray(sh, dtype=object))
-                if sh
-                else np.array([], dtype=np.uint64)
+            all_sh.extend(_token_ngrams(t, self.ngram))
+            bounds.append(len(all_sh))
+        n_docs = len(texts)
+        num_perm = len(self.a)
+        if not all_sh:
+            sigs = np.full(
+                (n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
             )
-            sigs.append(_minhash_sig(hs, self.a, self.b).astype(np.int64))
+        else:
+            hs = pd.util.hash_array(np.asarray(all_sh, dtype=object)) % _MERSENNE
+            perm = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
+            sigs = np.full(
+                (n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+            )
+            nonempty = [i for i in range(n_docs) if bounds[i + 1] > bounds[i]]
+            if nonempty:
+                starts = np.array([bounds[i] for i in nonempty])
+                mins = np.minimum.reduceat(perm, starts, axis=1)
+                # reduceat segments end at the next start; the final segment
+                # runs to the end, matching bounds since trailing empties
+                # were excluded
+                sigs[np.array(nonempty)] = mins.T
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array(sigs, pa.list_(pa.int64())),
+                "sig": pa.array(
+                    list(sigs.astype(np.int64)), pa.list_(pa.int64())
+                ),
             }
         )
 
@@ -211,7 +231,8 @@ def minhash_pairs(
                 rows.append((r.doc_a, r.doc_b, int(round(j * 100))))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pct"])
 
-    chunks = np.array_split(cand_df, max(1, len(cand_df) // 500))
+    step = 500
+    chunks = [cand_df.iloc[i : i + step] for i in range(0, len(cand_df), step)]
     parts = ray.get([verify.remote(c) for c in chunks if len(c)])
     out = (
         pd.concat(parts, ignore_index=True)

@@ -1,0 +1,118 @@
+"""Model-evaluation ops — the reference's eval loop (tools/program.py:421-473)
+recast as Ray partial+final aggregation.
+
+Per media image an actor computes the counter triple/tuple (a cheap partial);
+``Dataset.sum`` over the counter columns is the only reduction; the final
+ratios are computed on the driver from 3 numbers — the textbook shape of
+``DetMetric.combine_results`` (pytocr/metrics/det_metric.py:41-55).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.metrics import (
+    combine_det_counters,
+    combine_rec_counters,
+    det_counters,
+    rec_counters,
+)
+from ..functions.ocr import OcrEngine
+from ..functions.png import decode_gray
+from ..state.weights import build_weights
+
+
+class _EvalStage:
+    """media rows + broadcast GT -> per-image metric counters."""
+
+    def __init__(self, gt_ref=None):
+        import ray
+
+        self.engine = OcrEngine(build_weights())
+        gt = ray.get(gt_ref) if isinstance(gt_ref, ray.ObjectRef) else (gt_ref or {})
+        self.gt: dict[str, list[dict]] = gt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        datas = batch["data"].to_pylist()
+        rows = {
+            "gt_care": [],
+            "det_care": [],
+            "matched": [],
+            "rec_exact": [],
+            "rec_sim": [],
+            "rec_n": [],
+        }
+        for ref, data in zip(refs, datas):
+            gt_regions = self.gt.get(ref)
+            gray = decode_gray(data) if data is not None else None
+            if gray is None or gt_regions is None:
+                continue
+            results = self.engine.ocr_image(gray)
+            # the det stage emits unclip-expanded boxes BY CONSTRUCTION
+            # (db_postprocess unclip, ratio 1.5); inflate the tight GT quads
+            # identically so IoU measures localization, not the known margin
+            from ..functions.geometry import unclip
+
+            gt_polys = [
+                unclip(
+                    np.asarray(r["box"], np.float64).reshape(4, 2),
+                    self.engine.cfg.unclip_ratio,
+                )
+                for r in gt_regions
+            ]
+            det_polys = [b.astype(np.float64) for b, _t, _p in results]
+            g, d, m = det_counters(gt_polys, [False] * len(gt_polys), det_polys)
+            ex = sim = n = 0.0
+            for (gt_poly, gt_text), (_b, text, _prob) in zip(
+                [(r["box"], r["text"]) for r in gt_regions], results
+            ):
+                e, s, c = rec_counters(text, gt_text)
+                ex += e
+                sim += s
+                n += c
+            rows["gt_care"].append(g)
+            rows["det_care"].append(d)
+            rows["matched"].append(m)
+            rows["rec_exact"].append(ex)
+            rows["rec_sim"].append(sim)
+            rows["rec_n"].append(n)
+        return pa.table(
+            {k: pa.array(v, pa.float64()) for k, v in rows.items()}
+        )
+
+
+def evaluate_corpus(corpus_dir: str, concurrency: int | None = None) -> dict:
+    """Detection P/R/hmean + recognition accuracy of the engine against the
+    generator's ground truth, computed distributed."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from . import pool_size
+
+    gt_t = pq.read_table(f"{corpus_dir}/media_gt.parquet")
+    gt = dict(zip(gt_t["media_ref"].to_pylist(), gt_t["regions"].to_pylist()))
+    gt_ref = ray.put(gt)
+
+    ds = rd.read_parquet(f"{corpus_dir}/media.parquet", columns=["media_ref", "data"])
+    counters = ds.map_batches(
+        _EvalStage,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency or pool_size(),
+        fn_constructor_kwargs={"gt_ref": gt_ref},
+    )
+    from ray.data.aggregate import Sum
+
+    cols = ["gt_care", "det_care", "matched", "rec_exact", "rec_sim", "rec_n"]
+    # ONE global aggregate pass for all six counters (per-column .sum()
+    # would re-execute the whole pipeline per counter)
+    agg = counters.aggregate(*[Sum(c, alias_name=c) for c in cols])
+    sums = {c: float(agg[c]) for c in cols}
+    det = combine_det_counters(
+        [(sums["gt_care"], sums["det_care"], sums["matched"])]
+    )
+    rec = combine_rec_counters([(sums["rec_exact"], sums["rec_sim"], sums["rec_n"])])
+    return {**det, **rec}

@@ -18,20 +18,33 @@ import pyarrow.parquet as pq
 
 from ..functions.ocr import OcrConfig
 from ..stages.ocr_stage import DetStage, OcrStage, RecStage
-from ..stages.reassemble import reassemble_group
+from ..stages.reassemble import reassemble_block, reassemble_group
 from ..stages.spans import explode_spans, normalize_text_spans
 
 
 def load_media_store(media_path: str):
-    """Read the media sidecar and broadcast it once (ray.put).
+    """Build the media payload access handle for the actor pools.
 
-    Sandbox-scale strategy: the whole payload dict fits in the object store
-    and every actor reads the same copy. At 100 TB the payloads live in a
-    hash-partitioned store and this function returns a lazy per-bucket
-    reader instead — the actor-side callsite is identical.
+    * Sharded directory (``part-<lo>.parquet`` files, as written by
+      generate_corpus_ray): return a descriptor; each ACTOR lazily reads
+      only the shards its rows touch (ShardedMediaStore) — no driver-side
+      scan, no broadcast of every payload. The 100 TB-safe path.
+    * Single parquet file (small sidecar): read once on the driver and
+      broadcast via ``ray.put`` (every actor zero-copy reads one copy).
     """
+    import os
+
     import ray
 
+    if os.path.isdir(media_path):
+        parts = sorted(
+            f for f in os.listdir(media_path) if f.startswith("part-")
+        )
+        if len(parts) >= 2:
+            los = [int(p.split("-")[1].split(".")[0]) for p in parts[:2]]
+            shard_size = los[1] - los[0]
+            return {"dir": media_path, "shard_size": shard_size}
+        # single shard — fall through to broadcast
     t = pq.read_table(media_path, columns=["media_ref", "data"])
     return ray.put(dict(zip(t["media_ref"].to_pylist(), t["data"].to_pylist())))
 
@@ -54,6 +67,7 @@ def extract_dataset(
     concurrency: int | None = None,
     batch_size: int = 16,
     pre_filter=None,
+    reassemble: str = "local",
 ):
     """Build the lazy extraction Dataset (flat EXTRACTED_FLAT rows).
 
@@ -72,7 +86,11 @@ def extract_dataset(
         weights_ref = put_weights()
     conc = concurrency or default_concurrency()
 
-    ds = rd.read_parquet(docs_path)
+    # Block granularity: OCR costs ~10ms per media row, so a good task is
+    # O(100) rows. Splitting the read into ~8 blocks per actor keeps the
+    # pool busy in many waves (no straggler tail from media-heavy blocks);
+    # the knob scales with the pool, not the data size.
+    ds = rd.read_parquet(docs_path, override_num_blocks=conc * 8)
     if pre_filter is not None:
         ds = ds.map_batches(pre_filter, batch_format="pyarrow")
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
@@ -117,4 +135,9 @@ def extract_dataset(
             },
         )
     ds = ds.select_columns(["doc_id", "offset", "region_idx", "kind", "text", "media_ref"])
+    if reassemble == "local":
+        # zero-shuffle: documents are block-contiguous by construction
+        # (one input row per doc + order-preserving map stages); see
+        # stages/reassemble.py for the guarantee
+        return ds.map_batches(reassemble_block, batch_format="pyarrow", batch_size=None)
     return ds.groupby("doc_id").map_groups(reassemble_group, batch_format="pyarrow")

@@ -55,6 +55,61 @@ def _get(maybe_ref):
     return maybe_ref
 
 
+class ShardedMediaStore:
+    """Actor-side lazy payload store over a sharded parquet directory.
+
+    ``media_ref`` encodes its shard ("img-<docidx>-<k>", shard = docidx
+    rounded down to shard_size) — the same contract as object storage where
+    the key embeds the partition. Each actor reads only the shards its doc
+    rows touch (blocks are contiguous doc ranges, so the small LRU hits
+    almost always), instead of the driver broadcasting every payload. This
+    is the 100 TB-safe path; the broadcast dict remains for small sidecars.
+    """
+
+    def __init__(self, media_dir: str, shard_size: int, cache_shards: int = 4):
+        self.dir = media_dir
+        self.shard_size = shard_size
+        self.cache_shards = cache_shards
+        self._cache: "dict[str, dict[str, bytes]]" = {}
+        self._order: list[str] = []
+
+    def get(self, ref: str) -> bytes | None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        try:
+            di = int(ref.split("-")[1])
+        except (IndexError, ValueError):
+            return None
+        lo = di - di % self.shard_size
+        path = os.path.join(self.dir, f"part-{lo:08d}.parquet")
+        d = self._cache.get(path)
+        if d is None:
+            if not os.path.exists(path):
+                return None
+            t = pq.read_table(path, columns=["media_ref", "data"])
+            d = dict(zip(t["media_ref"].to_pylist(), t["data"].to_pylist()))
+            self._cache[path] = d
+            self._order.append(path)
+            while len(self._order) > self.cache_shards:
+                self._cache.pop(self._order.pop(0), None)
+        return d.get(ref)
+
+
+def make_media_lookup(media_ref):
+    """media_ref may be: None, a dict, a ray.ObjectRef of a dict, or a
+    sharded-store descriptor {"dir": ..., "shard_size": ...}."""
+    if media_ref is None:
+        empty: dict[str, bytes] = {}
+        return empty.get
+    if isinstance(media_ref, dict) and "dir" in media_ref:
+        return ShardedMediaStore(
+            media_ref["dir"], int(media_ref["shard_size"])
+        ).get
+    return _get(media_ref).get
+
+
 class _Collector:
     """Accumulates output rows and renders one Arrow table per batch."""
 
@@ -101,10 +156,7 @@ class OcrStage:
     def __init__(self, weights_ref=None, media_ref=None, config: OcrConfig | None = None):
         w = _get(weights_ref) if weights_ref is not None else build_weights()
         self.engine = OcrEngine(w, config)
-        self.media: dict[str, bytes] = _get(media_ref) if media_ref is not None else {}
-
-    def lookup(self, ref: str) -> bytes | None:
-        return self.media.get(ref)
+        self.lookup = make_media_lookup(media_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = _Collector()
@@ -144,7 +196,7 @@ class DetStage:
         cfg = config or OcrConfig()
         # cls runs in RecStage; detection itself never rotates
         self.engine = OcrEngine(w, cfg)
-        self.media: dict[str, bytes] = _get(media_ref) if media_ref is not None else {}
+        self.lookup = make_media_lookup(media_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {
@@ -184,7 +236,7 @@ class DetStage:
                 add(doc, off, 0, kind, batch["text"][i].as_py(), "", None, None)
                 continue
             ref = batch["media_ref"][i].as_py()
-            data = self.media.get(ref)
+            data = self.lookup(ref)
             gray = decode_gray(data) if data is not None else None
             if gray is None:
                 continue

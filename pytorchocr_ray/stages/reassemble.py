@@ -1,15 +1,46 @@
-"""Per-document reassembly — THE shuffle of the pipeline (key: doc_id).
+"""Per-document reassembly (key: doc_id).
 
-``groupby("doc_id").map_groups``: inside a group, stable-sort by
-(offset, region_idx) and emit the 0-based ``order`` column. Document order
-is restored locally per group — never a global sort (SURVEY.md §2.8).
+Two physical plans:
+
+* :func:`reassemble_block` — ZERO-shuffle fast path. A document is one row
+  of the input table, so a whole document always lands in one read block,
+  and every upstream stage (explode, normalize, OCR) is an order-preserving
+  map over its block — a document's span rows are therefore contiguous
+  within one output block. Reassembly is then a block-local stable sort +
+  per-doc cumcount. Assumption documented here and asserted in tests; the
+  partitioned runner's bucket layout provides the same guarantee at scale.
+* :func:`reassemble_group` — the general ``groupby("doc_id").map_groups``
+  shuffle, for inputs where span rows arrive pre-exploded / scattered.
+
+Inside a doc: stable sort by (offset, region_idx), 0-based ``order``.
+Document order is restored locally — never a global sort (SURVEY.md §2.8).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def reassemble_block(batch: pa.Table) -> pa.Table:
+    """Block-local reassembly (requires doc-contiguous blocks, see module
+    docstring). Vectorized: one stable sort + factorized cumcount."""
+    df = batch.to_pandas()
+    df = df.sort_values(
+        ["doc_id", "offset", "region_idx"], kind="stable", ignore_index=True
+    )
+    order = df.groupby("doc_id", sort=False).cumcount().to_numpy(np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], pa.string()),
+            "order": pa.array(order, pa.int32()),
+            "kind": pa.array(df["kind"], pa.string()),
+            "text": pa.array(df["text"], pa.string()),
+            "media_ref": pa.array(df["media_ref"], pa.string()),
+        }
+    )
 
 
 def reassemble_group(group: pa.Table) -> pa.Table:

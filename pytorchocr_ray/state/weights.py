@@ -20,14 +20,18 @@ WEIGHT_SEED = GLYPH_SEED
 
 def build_weights(seed: int = WEIGHT_SEED) -> dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
-    # Anisotropic smoothing (9 tall x 13 wide): wide enough to bridge the
-    # 4px inter-glyph gap within a text line, short enough not to merge
-    # vertically separated lines (>=28px ink gap in the corpus).
-    k = np.full((9, 13), 1.0 / (9 * 13))
-    k = k * (1.0 + 0.01 * rng.standard_normal((9, 13)))
-    k /= k.sum()
+    # Anisotropic SEPARABLE smoothing (9 tall x 13 wide = outer(ky, kx)):
+    # wide enough to bridge the 4px inter-glyph gap within a text line,
+    # short enough not to merge vertically separated lines (>=28px ink gap).
+    # Separability lets the det forward run as two 1-D shifted-add passes
+    # (~3x faster than the FFT path for these image sizes).
+    ky = np.full(9, 1.0 / 9) * (1.0 + 0.01 * rng.standard_normal(9))
+    kx = np.full(13, 1.0 / 13) * (1.0 + 0.01 * rng.standard_normal(13))
+    ky /= ky.sum()
+    kx /= kx.sum()
     return {
-        "det_kernel": k.astype(np.float64),
+        "det_ky": ky.astype(np.float64),
+        "det_kx": kx.astype(np.float64),
         "det_center": np.float64(0.22),
         "det_steep": np.float64(40.0),
         "rec_templates": build_glyphs(seed),

@@ -52,6 +52,21 @@ def test_split_pipeline_matches_oracle(ray_session, small_corpus, golden):
     pd.testing.assert_frame_equal(got, golden)
 
 
+def test_shuffle_reassembly_matches_oracle(ray_session, small_corpus, golden):
+    """The general groupby(doc_id) path must agree with the zero-shuffle
+    block-local path (which the other tests cover as the default)."""
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+
+    ds = extract_dataset(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        concurrency=2,
+        reassemble="shuffle",
+    )
+    got = _canon(ds.to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
+
+
 def test_pipeline_deterministic_across_batch_sizes(ray_session, small_corpus, golden):
     from pytorchocr_ray.pipelines.extract import extract_dataset
 

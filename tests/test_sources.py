@@ -1,0 +1,84 @@
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def label_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("labels")
+    det = d / "det.txt"
+    det.write_text(
+        "img1.png\t"
+        + json.dumps(
+            [
+                {"transcription": "hello", "points": [[0, 0], [10, 0], [10, 5], [0, 5]]},
+                {"transcription": "###", "points": [[20, 0], [30, 0], [30, 5], [20, 5]]},
+            ]
+        )
+        + "\n"
+        + "broken line without tab\n"
+        + "img2.png\tnot json at all\n"
+        + "img3.png\t" + json.dumps([{"transcription": "x", "points": [[1, 1], [2, 1], [2, 2], [1, 2]]}]) + "\n"
+    )
+    rec = d / "rec.txt"
+    rec.write_text("img1.png\tsometext\nimg2.png\tother text\nnorec\n")
+    cls = d / "cls.txt"
+    cls.write_text("img1.png\t0\nimg2.png\t180\nimg3.png\t90\n")
+    tab = d / "tab.jsonl"
+    tab.write_text(
+        json.dumps(
+            {
+                "filename": "t1.png",
+                "html": {"cells": [{"tokens": ["a"]}], "structure": {"tokens": ["<tr>", "<td>", "</td>", "</tr>"]}},
+            }
+        )
+        + "\n{bad json\n"
+    )
+    return str(d)
+
+
+def test_read_det_labels(ray_session, label_dir):
+    from pytorchocr_ray.sources.label_files import read_det_labels
+
+    df = read_det_labels(os.path.join(label_dir, "det.txt")).to_pandas()
+    assert len(df) == 2  # two valid rows, two dropped
+    row = df[df.img_path == "img1.png"].iloc[0]
+    assert row["regions"][0]["transcription"] == "hello"
+    assert list(row["regions"][0]["points"]) == [0, 0, 10, 0, 10, 5, 0, 5]
+
+
+def test_read_rec_labels(ray_session, label_dir):
+    from pytorchocr_ray.sources.label_files import read_rec_labels
+
+    df = read_rec_labels(os.path.join(label_dir, "rec.txt")).to_pandas()
+    assert len(df) == 2
+    assert df.set_index("img_path").loc["img2.png", "text"] == "other text"
+
+
+def test_read_cls_labels_drops_unknown(ray_session, label_dir):
+    from pytorchocr_ray.sources.label_files import read_cls_labels
+
+    df = read_cls_labels(os.path.join(label_dir, "cls.txt")).to_pandas()
+    assert len(df) == 2  # "90" dropped
+    assert set(df["label"]) == {"0", "180"}
+    assert df.set_index("label").loc["180", "label_idx"] == 1
+
+
+def test_read_pubtab_jsonl(ray_session, label_dir):
+    from pytorchocr_ray.sources.label_files import read_pubtab_jsonl
+
+    df = read_pubtab_jsonl(os.path.join(label_dir, "tab.jsonl")).to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0]["n_cells"] == 1
+    assert list(df.iloc[0]["structure_tokens"]) == ["<tr>", "<td>", "</td>", "</tr>"]
+
+
+def test_evaluate_corpus(ray_session, small_corpus):
+    from pytorchocr_ray.ops.evaluate import evaluate_corpus
+
+    out = evaluate_corpus(small_corpus, concurrency=2)
+    # the seeded engine reads its own corpus nearly perfectly
+    assert out["hmean"] > 0.95, out
+    assert out["acc"] > 0.95, out
+    assert out["norm_edit_sim"] > 0.97, out
