@@ -53,6 +53,79 @@ def entry() -> Any:
     return _extract("/root/testdata/sf0.001")
 
 
+def _n_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def _audio_features(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from pytorchocr_ray.stages.multimodal import audio_features
+    from pytorchocr_ray.synth.multimodal import synth_audio_table
+
+    # from_arrow yields one block; split so the actor pool gets parallel input
+    ds = rd.from_arrow(synth_audio_table(min(200, _n_rows(sf_dir)), seed=_SEED))
+    return audio_features(ds.repartition(8), concurrency=4)
+
+
+def _video_frames(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from pytorchocr_ray.stages.multimodal import video_frame_samples
+    from pytorchocr_ray.synth.multimodal import synth_video_table
+
+    ds = rd.from_arrow(synth_video_table(min(200, _n_rows(sf_dir)), seed=_SEED))
+    return video_frame_samples(ds.repartition(8), concurrency=4)
+
+
+def _evaluate_engine(sf_dir: str) -> Any:
+    import pandas as pd
+
+    from pytorchocr_ray.ops.evaluate import evaluate_corpus
+
+    corpus = _corpus_for(sf_dir)
+    # evaluate on the single-file corpus tables (media/media_gt live in
+    # sharded dirs here) — point at the dir parquet dataset
+    out = evaluate_corpus_sharded(corpus)
+    return pd.DataFrame([out])
+
+
+def evaluate_corpus_sharded(corpus_dir: str) -> dict:
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.ops.evaluate import _EvalStage
+    from pytorchocr_ray.functions.metrics import (
+        combine_det_counters,
+        combine_rec_counters,
+    )
+    from ray.data.aggregate import Sum
+
+    gt_t = pq.read_table(os.path.join(corpus_dir, "media_gt"))
+    gt = dict(zip(gt_t["media_ref"].to_pylist(), gt_t["regions"].to_pylist()))
+    gt_ref = ray.put(gt)
+    ds = rd.read_parquet(
+        os.path.join(corpus_dir, "media"), columns=["media_ref", "data"]
+    )
+    counters = ds.map_batches(
+        _EvalStage,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=pool_size(),
+        fn_constructor_kwargs={"gt_ref": gt_ref},
+    )
+    cols = ["gt_care", "det_care", "matched", "rec_exact", "rec_sim", "rec_n"]
+    agg = counters.aggregate(*[Sum(c, alias_name=c) for c in cols])
+    sums = {c: float(agg[c]) for c in cols}
+    det = combine_det_counters([(sums["gt_care"], sums["det_care"], sums["matched"])])
+    rec = combine_rec_counters([(sums["rec_exact"], sums["rec_sim"], sums["rec_n"])])
+    return {**det, **rec}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
 
@@ -74,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "simsearch_topk": simsearch.topk_bruteforce,
         "simsearch_ivf": simsearch.topk_ivf,  # rows-only (ANN)
+        # multimodal binary-payload stages (stubbed decode; rows-only)
+        "audio_features": _audio_features,
+        "video_frames": _video_frames,
+        # engine evaluation (det IoU + rec accuracy, partial+final agg)
+        "evaluate_engine": _evaluate_engine,
         # relational coverage
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,

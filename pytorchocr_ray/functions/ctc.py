@@ -65,3 +65,41 @@ def attn_greedy_decode(probs: np.ndarray) -> tuple[str, float]:
     if not chars:
         return "", 0.0
     return "".join(chars), float(np.mean(confs))
+
+
+def ctc_label_encode(
+    text: str, max_text_len: int = 25
+) -> tuple[np.ndarray, int] | None:
+    """Text -> (padded dict-index array, length) for CTC training targets.
+
+    Mirrors the reference's CTCLabelEncode (label_ops.py:147-177): None when
+    empty or over max length; unknown chars silently skipped
+    (label_ops.py:136-141); zero-padded to ``max_text_len``.
+    """
+    from .charset import char_to_index
+
+    if len(text) == 0 or len(text) > max_text_len:
+        return None
+    idxs = [i for i in (char_to_index(c) for c in text) if i is not None]
+    if not idxs:
+        return None
+    out = np.zeros(max_text_len, dtype=np.int64)
+    out[: len(idxs)] = idxs
+    return out, len(idxs)
+
+
+def structure_greedy_decode(
+    probs: np.ndarray, vocab: list[str], eos: str = "</html>"
+) -> list[str]:
+    """Minimal table-structure token decode (the TableLabelDecode analog,
+    pytocr/postprocess/table_postprocess.py:7-124): per-step argmax into a
+    token vocabulary, stop at the eos token. The table-recognition models
+    themselves are out of v1 scope (SURVEY.md §2.2)."""
+    idx = probs.argmax(axis=1)
+    out: list[str] = []
+    for i in idx:
+        tok = vocab[int(i)]
+        if tok == eos:
+            break
+        out.append(tok)
+    return out

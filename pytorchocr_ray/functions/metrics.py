@@ -154,6 +154,17 @@ def rec_counters(pred: str, target: str) -> tuple[int, float, int]:
     return (int(p == t), 1.0 - levenshtein(p, t) / denom, 1)
 
 
+def cls_counters(pred: str, label: str) -> tuple[int, int]:
+    """(correct, total) — ClsMetric's accuracy counters
+    (pytocr/metrics/cls_metric.py:1-30)."""
+    return (int(pred == label), 1)
+
+
+def combine_cls_counters(counters) -> dict[str, float]:
+    n = sum(c[1] for c in counters)
+    return {"acc": (sum(c[0] for c in counters) / n) if n else 0.0}
+
+
 def combine_rec_counters(counters) -> dict[str, float]:
     n = sum(c[2] for c in counters)
     if n == 0:
