@@ -65,9 +65,11 @@ def _audio_features(sf_dir: str) -> Any:
     from pytorchocr_ray.stages.multimodal import audio_features
     from pytorchocr_ray.synth.multimodal import synth_audio_table
 
+    from pytorchocr_ray.ops import pool_size
+
     # from_arrow yields one block; split so the actor pool gets parallel input
     ds = rd.from_arrow(synth_audio_table(min(200, _n_rows(sf_dir)), seed=_SEED))
-    return audio_features(ds.repartition(8), concurrency=4)
+    return audio_features(ds.repartition(8), concurrency=pool_size())
 
 
 def _video_frames(sf_dir: str) -> Any:
@@ -76,8 +78,10 @@ def _video_frames(sf_dir: str) -> Any:
     from pytorchocr_ray.stages.multimodal import video_frame_samples
     from pytorchocr_ray.synth.multimodal import synth_video_table
 
+    from pytorchocr_ray.ops import pool_size
+
     ds = rd.from_arrow(synth_video_table(min(200, _n_rows(sf_dir)), seed=_SEED))
-    return video_frame_samples(ds.repartition(8), concurrency=4)
+    return video_frame_samples(ds.repartition(8), concurrency=pool_size())
 
 
 def _evaluate_engine(sf_dir: str) -> Any:

@@ -166,6 +166,9 @@ def minhash_pairs(
     import ray
 
     rows_per_band = num_perm // bands
+    salt_bits = 6  # shuffle groups = bands * 2^salt_bits (sized so one
+    # map_groups call covers MANY LSH buckets — per-group python-call
+    # overhead on ~|docs|*bands tiny buckets was the dominant cost)
     sig_ds = minhash_signatures(sf_dir, num_perm, ngram)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -180,28 +183,42 @@ def minhash_pairs(
             out_doc.extend([d] * bands)
             out_band.extend(range(bands))
             out_hash.extend(bh.tolist())
+        hashes = np.asarray(out_hash, dtype=np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "band_hash": pa.array(hashes),
+                "salt": pa.array(
+                    (hashes & ((1 << salt_bits) - 1)).astype(np.int32)
+                ),
             }
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        """One (band, salt) group = many LSH buckets; enumerate pairs per
+        band_hash vectorized (buckets with >=2 members are rare)."""
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        counts = group["band_hash"].value_counts()
+        hot = counts[counts >= 2].index
+        if len(hot):
+            sub = group[group["band_hash"].isin(hot)]
+            for _h, bucket in sub.groupby("band_hash", sort=False):
+                ids = np.sort(bucket["doc_id"].to_numpy())
+                ii, jj = np.triu_indices(len(ids), 1)
+                a_out.append(ids[ii])
+                b_out.append(ids[jj])
+        if not a_out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+        )
 
     cands = (
         sig_ds.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        .groupby(["band", "salt"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     cand_df = cands.to_pandas().drop_duplicates()
@@ -214,8 +231,21 @@ def minhash_pairs(
             }
         )
 
-    texts_t = read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    text_ref = ray.put(dict(zip(texts_t["doc_id"], texts_t["text"])))
+    # broadcast ONLY the candidate docs' texts (predicate-pushdown read) —
+    # the candidate set is tiny relative to the corpus, so this stays
+    # broadcastable at scale where a full-table driver read would not
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cand_ids = sorted(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))
+    texts_t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=pads.field("doc_id").isin(cand_ids),
+    )
+    text_ref = ray.put(
+        dict(zip(texts_t["doc_id"].to_pylist(), texts_t["text"].to_pylist()))
+    )
 
     @ray.remote
     def verify(pairs: pd.DataFrame) -> pd.DataFrame:

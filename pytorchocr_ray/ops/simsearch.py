@@ -27,10 +27,15 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def _load_queries(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
+    # predicate pushdown: only the nq query vectors leave storage
+    # (vec_ids are dense 0..n-1 in this corpus; a sparse-id table would
+    # need a two-pass min-k instead)
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", nq)],
     )
-    df = t.to_pandas().nsmallest(nq, "vec_id")
+    df = t.to_pandas().sort_values("vec_id").head(nq)
     q = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))
     return df["vec_id"].to_numpy(np.int64), q
 
@@ -106,11 +111,15 @@ def topk_ivf(
     import pyarrow.parquet as pq
 
     qids, qmat = _load_queries(sf_dir, nq)
-    # seeded centroids drawn from the dataset itself (every nth vector)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    all_emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    # seeded centroids from a bounded HEAD SAMPLE of the table (first row
+    # group), never a full-table driver read — at 100 TB the coarse
+    # quantizer trains on a sample by definition
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = pf.read_row_group(0, columns=["embedding"])
+    sample = _normalize(np.asarray(head["embedding"].to_pylist(), dtype=np.float64))
     rng = np.random.default_rng(seed)
-    cent = _normalize(all_emb[rng.choice(len(all_emb), n_centroids, replace=False)])
+    pick = rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)
+    cent = _normalize(sample[pick])
     state = ray.put((qids, qmat, cent))
 
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])

@@ -126,6 +126,46 @@ def result_checksum(df: pd.DataFrame) -> str:
     return hex(int(h.sum() & np.uint64(0xFFFFFFFFFFFFFFFF)))
 
 
+def _lineage_stats(ds) -> dict:
+    """Distributed lineage: per-batch partials -> one Sum aggregate.
+
+    Row hashes are order-insensitive under wrapping uint64 summation, so the
+    summed checksum equals :func:`result_checksum` of the same rows.
+    """
+    import pyarrow as par
+
+    def partial(batch: par.Table) -> par.Table:
+        df = batch.to_pandas()[["doc_id", "order", "kind", "text", "media_ref"]]
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy(np.uint64)
+        return par.table(
+            {
+                "rows": par.array([len(df)], par.int64()),
+                "regions": par.array(
+                    [int((df["kind"] == "media").sum())], par.int64()
+                ),
+                "docs_first": par.array(
+                    [int((df["order"] == 0).sum())], par.int64()
+                ),
+                # uint64 bits carried as int64 (wrapping final sum on driver)
+                "hash_sum": par.array(
+                    [int(h.sum(dtype=np.uint64).astype(np.int64))], par.int64()
+                ),
+            }
+        )
+
+    # one tiny partial row per block; final combine on the driver
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hash_total = parts["hash_sum"].to_numpy(np.int64).view(np.uint64).sum(
+        dtype=np.uint64
+    ) if len(parts) else np.uint64(0)
+    return {
+        "output_rows": int(parts["rows"].sum()) if len(parts) else 0,
+        "output_docs": int(parts["docs_first"].sum()) if len(parts) else 0,
+        "ocr_regions": int(parts["regions"].sum()) if len(parts) else 0,
+        "checksum": hex(int(hash_total)),
+    }
+
+
 def run_partitioned(
     docs_path: str,
     media_path: str,
@@ -165,23 +205,20 @@ def run_partitioned(
             concurrency=concurrency,
             pre_filter=_partition_filter(n_buckets, part),
         )
-        df = ds.to_pandas()
+        # run the partition ONCE into the object store (never the driver
+        # heap), then write + compute lineage from the pinned result
+        mat = ds.materialize()
         final = os.path.join(out_dir, part.name)
         tmp = os.path.join(out_dir, f"_tmp_{part.bucket}_{part.sub}")
+        import shutil
+
         if os.path.exists(tmp):
-            import shutil
-
             shutil.rmtree(tmp)
-        os.makedirs(tmp, exist_ok=True)
-        pa_tbl = pa.Table.from_pandas(df, preserve_index=False)
-        import pyarrow.parquet as pq
-
-        pq.write_table(pa_tbl, os.path.join(tmp, "data.parquet"))
+        mat.write_parquet(tmp)
         if os.path.exists(final):
-            import shutil
-
             shutil.rmtree(final)
         os.rename(tmp, final)
+        stats = _lineage_stats(mat)
         record = {
             "partition": part.name,
             "bucket": part.bucket,
@@ -189,10 +226,7 @@ def run_partitioned(
             "n_subs": part.n_subs,
             "planned_docs": part.planned_docs,
             "planned_media_spans": part.planned_media_spans,
-            "output_rows": int(len(df)),
-            "output_docs": int(df["doc_id"].nunique()),
-            "ocr_regions": int((df["kind"] == "media").sum()),
-            "checksum": result_checksum(df),
+            **stats,
         }
         tmp_marker = marker_path + ".tmp"
         with open(tmp_marker, "w") as f:

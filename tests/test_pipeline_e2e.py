@@ -67,6 +67,28 @@ def test_shuffle_reassembly_matches_oracle(ray_session, small_corpus, golden):
     pd.testing.assert_frame_equal(got, golden)
 
 
+def test_pse_pipeline_matches_pse_oracle(ray_session, small_corpus):
+    """Alternate det post-process keeps the same parity contract."""
+    import pyarrow.parquet as pq
+
+    from pytorchocr_ray.functions.ocr import OcrConfig
+    from pytorchocr_ray.oracle.extract import oracle_extract
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+
+    cfg = OcrConfig(det_postprocess="pse")
+    docs = pq.read_table(os.path.join(small_corpus, "documents.parquet"))
+    media_t = pq.read_table(os.path.join(small_corpus, "media.parquet"))
+    media = dict(zip(media_t["media_ref"].to_pylist(), media_t["data"].to_pylist()))
+    golden_pse = _canon(oracle_extract(docs, media, config=cfg).to_pandas())
+    ds = extract_dataset(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        concurrency=2,
+        config=cfg,
+    )
+    pd.testing.assert_frame_equal(_canon(ds.to_pandas()), golden_pse)
+
+
 def test_pipeline_deterministic_across_batch_sizes(ray_session, small_corpus, golden):
     from pytorchocr_ray.pipelines.extract import extract_dataset
 
