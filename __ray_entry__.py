@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
+        "revenue_by_segment_join": relational.revenue_by_segment_join,
         "top_customers": relational.top_customers,
         "events_hourly": relational.events_hourly,
         "user_activity": relational.user_activity,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_topk": simsearch.topk_bruteforce_sql(),
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
+        "revenue_by_segment_join": relational.REVENUE_BY_SEGMENT_SQL,
         "top_customers": relational.top_customers_sql(),
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "user_activity": relational.USER_ACTIVITY_SQL,

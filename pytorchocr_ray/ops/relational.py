@@ -136,6 +136,50 @@ GROUP BY c_mktsegment
 """
 
 
+def revenue_by_segment_join(sf_dir: str, num_partitions: int = 8):
+    """Same query via the native hash-partitioned ``Dataset.join`` — the
+    both-sides-large plan (broadcast twin above shows the small-side plan).
+    """
+    from ray.data.aggregate import Sum
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        "inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "revenue": _round2(batch["revenue"]),
+                "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def top_customers(sf_dir: str, k: int = 10):
     """sort + limit: top-k customers by account balance."""
     ds = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])

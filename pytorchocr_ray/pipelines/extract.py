@@ -68,6 +68,7 @@ def extract_dataset(
     batch_size: int = 16,
     pre_filter=None,
     reassemble: str = "local",
+    media_mode: str = "store",
 ):
     """Build the lazy extraction Dataset (flat EXTRACTED_FLAT rows).
 
@@ -75,12 +76,21 @@ def extract_dataset(
     documents table right after the read (the partitioned runner injects its
     bucket filter here; at scale this is replaced by reading only the
     partition's files).
+
+    ``media_mode``:
+      * "store" (default) — payloads fetched actor-side (broadcast dict or
+        sharded store; zero shuffle of bytes),
+      * "join" — a REAL hash-partitioned ``Dataset.join`` of the exploded
+        span rows with the media table on ``media_ref`` (payload bytes move
+        through the shuffle). The right choice when the sidecar can be
+        neither broadcast nor key-addressed; destroys block/doc locality,
+        so reassembly switches to the groupby plan automatically.
     """
     import ray.data as rd
 
     from ..state.weights import put_weights
 
-    if media_ref is None and media_path is not None:
+    if media_ref is None and media_path is not None and media_mode == "store":
         media_ref = load_media_store(media_path)
     if weights_ref is None:
         weights_ref = put_weights()
@@ -95,6 +105,18 @@ def extract_dataset(
         ds = ds.map_batches(pre_filter, batch_format="pyarrow")
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
     ds = ds.map_batches(normalize_text_spans, batch_format="pyarrow")
+    if media_mode == "join":
+        if media_path is None:
+            raise ValueError("media_mode='join' requires media_path")
+        media_ds = rd.read_parquet(media_path, columns=["media_ref", "data"])
+        ds = ds.join(
+            media_ds,
+            "left_outer",  # text rows (media_ref="") keep data=null
+            num_partitions=conc,
+            on=("media_ref",),
+        )
+        media_ref = {}  # actors read the joined "data" column
+        reassemble = "shuffle"  # the join destroyed doc-block locality
     if fused:
         ds = ds.map_batches(
             OcrStage,

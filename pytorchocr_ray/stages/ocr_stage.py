@@ -165,11 +165,15 @@ class OcrStage:
         texts = batch["text"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         offsets = batch["offset"].to_pylist()
+        # media_mode="join" delivers payloads inline as a "data" column
+        inline = (
+            batch["data"].to_pylist() if "data" in batch.column_names else None
+        )
         for i, kind in enumerate(kinds):
             if kind != "media":
                 out.add(doc_ids[i], offsets[i], 0, kind, texts[i], "", None, None)
                 continue
-            data = self.lookup(refs[i])
+            data = inline[i] if inline is not None else self.lookup(refs[i])
             gray = decode_gray(data) if data is not None else None
             if gray is None:
                 continue  # DecodeImage contract: undecodable -> drop row

@@ -67,6 +67,21 @@ def test_shuffle_reassembly_matches_oracle(ray_session, small_corpus, golden):
     pd.testing.assert_frame_equal(got, golden)
 
 
+def test_media_join_mode_matches_oracle(ray_session, small_corpus, golden):
+    """media_mode='join' (hash-partitioned Dataset.join of span rows with
+    the payload table) must produce the same result as the store mode."""
+    from pytorchocr_ray.pipelines.extract import extract_dataset
+
+    ds = extract_dataset(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        concurrency=2,
+        media_mode="join",
+    )
+    got = _canon(ds.to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
+
+
 def test_pse_pipeline_matches_pse_oracle(ray_session, small_corpus):
     """Alternate det post-process keeps the same parity contract."""
     import pyarrow.parquet as pq

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the exactness-critical kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pytorchocr_ray.functions.charset import CHARSET
+from pytorchocr_ray.functions.ctc import ctc_greedy_decode
+from pytorchocr_ray.functions.geometry import (
+    convex_hull,
+    min_area_rect,
+    polygon_area_perimeter,
+    sort_boxes,
+    unclip,
+)
+from pytorchocr_ray.functions.png import decode_gray, encode_gray
+
+points_strategy = st.lists(
+    st.tuples(
+        st.floats(-500, 500, allow_nan=False), st.floats(-500, 500, allow_nan=False)
+    ),
+    min_size=3,
+    max_size=40,
+).map(lambda pts: np.array(pts, dtype=np.float64))
+
+
+@settings(max_examples=80, deadline=None)
+@given(points_strategy)
+def test_min_area_rect_contains_all_points(pts):
+    corners, _ = min_area_rect(pts)
+    if len(np.unique(pts, axis=0)) < 3:
+        return
+    # every point inside the rect up to numerical slack
+    c = corners.mean(axis=0)
+    u = corners[1] - corners[0]
+    v = corners[3] - corners[0]
+    for axis in (u, v):
+        n = np.linalg.norm(axis)
+        if n < 1e-9:
+            continue
+        proj = (pts - c) @ (axis / n)
+        assert proj.max() <= n / 2 + 1e-6
+        assert proj.min() >= -n / 2 - 1e-6
+
+
+@settings(max_examples=80, deadline=None)
+@given(points_strategy)
+def test_hull_is_subset_and_contains_extremes(pts):
+    hull = convex_hull(pts)
+    pts_set = {(round(x, 9), round(y, 9)) for x, y in pts}
+    for x, y in hull:
+        assert (round(x, 9), round(y, 9)) in pts_set
+    assert pts[:, 0].min() in hull[:, 0] and pts[:, 0].max() in hull[:, 0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(5, 200),
+    st.floats(5, 200),
+    st.floats(0.5, 3.0),
+)
+def test_unclip_grows_rectangle(w, h, ratio):
+    rect = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=float)
+    out = unclip(rect, ratio)
+    a0, _ = polygon_area_perimeter(rect)
+    a1, _ = polygon_area_perimeter(out)
+    assert a1 > a0
+    # expected offset d = area*ratio/perimeter on each side
+    d = a0 * ratio / (2 * (w + h))
+    assert abs(out[:, 0].min() - (-d)) < 1e-6
+    assert abs(out[:, 0].max() - (w + d)) < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 300)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_sort_boxes_permutation_invariant(tls):
+    """The reference algorithm starts from a (y, x)-sorted list, so its
+    output must not depend on input order."""
+    boxes = np.array(
+        [[[x, y], [x + 10, y], [x + 10, y + 5], [x, y + 5]] for x, y in tls]
+    )
+    a = sort_boxes(boxes)
+    rng = np.random.default_rng(0)
+    b = sort_boxes(boxes[rng.permutation(len(boxes))])
+    np.testing.assert_array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 60), st.integers(1, 60), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_random(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_gray(encode_gray(img))
+    np.testing.assert_array_equal(out, img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, len(CHARSET)), min_size=1, max_size=30),
+    st.floats(0.5, 0.99),
+)
+def test_ctc_decode_no_blank_no_adjacent_repeat(indices, conf):
+    c = len(CHARSET) + 1
+    probs = np.full((len(indices), c), (1 - conf) / (c - 1), dtype=np.float64)
+    for t, i in enumerate(indices):
+        probs[t, i] = conf
+    text, p = ctc_greedy_decode(probs)
+    # decoded text never contains adjacent repeats from a single run
+    collapsed = []
+    prev = None
+    for i in indices:
+        if i != 0 and i != prev:
+            collapsed.append(CHARSET[i - 1])
+        prev = i
+    assert text == "".join(collapsed)
+    assert 0.0 <= p <= 1.0
