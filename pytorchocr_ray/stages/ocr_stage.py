@@ -233,13 +233,18 @@ class DetStage:
                 rows["crop_h"].append(crop.shape[0])
                 rows["crop_w"].append(crop.shape[1])
 
-        for i, kind in enumerate(batch["kind"].to_pylist()):
-            doc = batch["doc_id"][i].as_py()
-            off = batch["offset"][i].as_py()
+        kinds = batch["kind"].to_pylist()
+        docs = batch["doc_id"].to_pylist()
+        offs = batch["offset"].to_pylist()
+        texts = batch["text"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        for i, kind in enumerate(kinds):
+            doc = docs[i]
+            off = offs[i]
             if kind != "media":
-                add(doc, off, 0, kind, batch["text"][i].as_py(), "", None, None)
+                add(doc, off, 0, kind, texts[i], "", None, None)
                 continue
-            ref = batch["media_ref"][i].as_py()
+            ref = refs[i]
             data = self.lookup(ref)
             gray = decode_gray(data) if data is not None else None
             if gray is None:
@@ -276,28 +281,26 @@ class RecStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = _Collector()
         kinds = batch["kind"].to_pylist()
+        docs = batch["doc_id"].to_pylist()
+        offs = batch["offset"].to_pylist()
+        texts = batch["text"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        ridxs = batch["region_idx"].to_pylist()
+        boxes = batch["box"].to_pylist()
+        crops = batch["crop"].to_pylist()
+        hs = batch["crop_h"].to_pylist()
+        ws = batch["crop_w"].to_pylist()
         for i, kind in enumerate(kinds):
-            doc = batch["doc_id"][i].as_py()
-            off = batch["offset"][i].as_py()
             if kind != "media":
-                out.add(doc, off, 0, kind, batch["text"][i].as_py(), "", None, None)
+                out.add(docs[i], offs[i], 0, kind, texts[i], "", None, None)
                 continue
-            h = batch["crop_h"][i].as_py()
-            w = batch["crop_w"][i].as_py()
-            crop = np.frombuffer(batch["crop"][i].as_py(), dtype=np.uint8).reshape(h, w)
+            crop = np.frombuffer(crops[i], dtype=np.uint8).reshape(hs[i], ws[i])
             if self.engine.cfg.use_cls:
                 label, _p = self.engine.cls(crop)
                 if label == "180":
                     crop = np.ascontiguousarray(crop[::-1, ::-1])
             text, prob = ctc_greedy_decode(self.engine.rec(crop))
             out.add(
-                doc,
-                off,
-                batch["region_idx"][i].as_py(),
-                "media",
-                text,
-                batch["media_ref"][i].as_py(),
-                prob,
-                batch["box"][i].as_py(),
+                docs[i], offs[i], ridxs[i], "media", text, refs[i], prob, boxes[i]
             )
         return out.table()
