@@ -84,6 +84,18 @@ def _video_frames(sf_dir: str) -> Any:
     return video_frame_samples(ds.repartition(8), concurrency=pool_size())
 
 
+def _sessionize(sf_dir: str) -> Any:
+    from pytorchocr_ray.ops.sessions import sessionize
+
+    return sessionize(sf_dir)
+
+
+def _sessionize_sql() -> str:
+    from pytorchocr_ray.ops.sessions import sessionize_sql
+
+    return sessionize_sql()
+
+
 def _evaluate_engine(sf_dir: str) -> Any:
     import pandas as pd
 
@@ -164,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "user_activity": relational.user_activity,
         "supplier_nation": relational.supplier_nation,
+        "sessionize": _sessionize,
     }
 
 
@@ -184,4 +197,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "user_activity": relational.USER_ACTIVITY_SQL,
         "supplier_nation": relational.SUPPLIER_NATION_SQL,
+        "sessionize": _sessionize_sql(),
     }

@@ -1,0 +1,73 @@
+"""Session windows over the events stream — a custom windowed aggregate
+Ray Data lacks natively (SURVEY.md §2.9 notes the reference has no
+streaming ops; the engine contract requires windowed aggregates anyway).
+
+Semantics: per user, events sorted by ts; a new session starts when the gap
+to the previous event exceeds ``gap``. Implemented as
+``groupby(user_id).map_groups`` with a vectorized in-group pass —
+partitioning assumption: one user's events fit one group (holds by
+construction of the groupby; for a pathological single-user firehose the
+key would need salting plus a session-merge pass).
+
+The DuckDB oracle expresses the identical windowing with LAG + a running
+sum — the standard SQL sessionization idiom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import read
+
+GAP_MINUTES = 30
+
+
+def sessionize(sf_dir: str, gap_minutes: int = GAP_MINUTES):
+    """-> (user_id, session_idx, n_events, start_epoch, end_epoch) ints."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    ds = read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(group["ts"].to_numpy("datetime64[us]")).astype(np.int64)
+        new_session = np.ones(len(ts), dtype=np.int64)
+        new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_session) - 1
+        df = pd.DataFrame({"session_idx": sid, "t": ts})
+        agg = df.groupby("session_idx", as_index=False).agg(
+            n_events=("t", "size"), start=("t", "min"), end=("t", "max")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": np.int64(group["user_id"].iloc[0]),
+                "session_idx": agg["session_idx"].to_numpy(np.int64),
+                "n_events": agg["n_events"].to_numpy(np.int64),
+                "start_epoch": agg["start"].to_numpy(np.int64) // 1_000_000,
+                "end_epoch": agg["end"].to_numpy(np.int64) // 1_000_000,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sessionize_sql(gap_minutes: int = GAP_MINUTES) -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {gap_minutes} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM marked)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
+FROM numbered GROUP BY user_id, session_idx
+"""
