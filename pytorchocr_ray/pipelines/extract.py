@@ -163,3 +163,12 @@ def extract_dataset(
         # stages/reassemble.py for the guarantee
         return ds.map_batches(reassemble_block, batch_format="pyarrow", batch_size=None)
     return ds.groupby("doc_id").map_groups(reassemble_group, batch_format="pyarrow")
+
+
+def extract_nested(docs_path: str, media_path: str | None = None, **kw):
+    """Extraction with the nested output contract: one row per document,
+    ``spans: list<struct<kind, text, media_ref, order>>`` (schemas.EXTRACTED)."""
+    from ..stages.reassemble import nest_block
+
+    ds = extract_dataset(docs_path, media_path, **kw)
+    return ds.map_batches(nest_block, batch_format="pyarrow", batch_size=None)

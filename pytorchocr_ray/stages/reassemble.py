@@ -60,6 +60,36 @@ def reassemble_group(group: pa.Table) -> pa.Table:
     )
 
 
+def nest_block(batch: pa.Table) -> pa.Table:
+    """Flat extracted rows -> nested EXTRACTED rows (one row per document,
+    spans as list<struct>). Vectorized with Arrow list offsets; valid on any
+    block whose documents are complete (true after either reassembly plan)."""
+    from .. import schemas
+
+    idx = pc.sort_indices(
+        batch, sort_keys=[("doc_id", "ascending"), ("order", "ascending")]
+    )
+    t = batch.take(idx)
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+    if len(ids) == 0:
+        return pa.table({"doc_id": [], "spans": []}, schema=schemas.EXTRACTED)
+    new_doc = np.ones(len(ids), dtype=bool)
+    new_doc[1:] = ids[1:] != ids[:-1]
+    offsets = np.concatenate([np.flatnonzero(new_doc), [len(ids)]]).astype(np.int32)
+    spans_struct = pa.StructArray.from_arrays(
+        [
+            t["kind"].combine_chunks(),
+            t["text"].combine_chunks(),
+            t["media_ref"].combine_chunks(),
+            pc.cast(t["order"].combine_chunks(), pa.int32()),
+        ],
+        fields=list(schemas.OUT_SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), spans_struct)
+    doc_ids = pa.array(ids[new_doc].tolist(), pa.string())
+    return pa.table({"doc_id": doc_ids, "spans": spans}, schema=schemas.EXTRACTED)
+
+
 def to_nested(flat_sorted: pa.Table) -> pa.Table:
     """Flat extracted rows (single doc, sorted by order) -> one nested row."""
     doc_id = flat_sorted["doc_id"][0].as_py()

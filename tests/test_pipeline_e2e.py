@@ -67,6 +67,37 @@ def test_shuffle_reassembly_matches_oracle(ray_session, small_corpus, golden):
     pd.testing.assert_frame_equal(got, golden)
 
 
+def test_nested_output_matches_flat(ray_session, small_corpus, golden):
+    """extract_nested emits one row per doc with the EXTRACTED schema and
+    the same span content as the flat plan."""
+    from pytorchocr_ray.pipelines.extract import extract_nested
+
+    ds = extract_nested(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        concurrency=2,
+    )
+    rows = ds.to_pandas()
+    flat = []
+    for r in rows.itertuples():
+        for s in r.spans:
+            flat.append(
+                {
+                    "doc_id": r.doc_id,
+                    "order": s["order"],
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s["media_ref"],
+                }
+            )
+    got = _canon(pd.DataFrame(flat))
+    got["order"] = got["order"].astype("int32")
+    pd.testing.assert_frame_equal(got, golden)
+    # per-row spans sorted by order
+    for r in rows.itertuples():
+        assert [s["order"] for s in r.spans] == list(range(len(r.spans)))
+
+
 def test_media_join_mode_matches_oracle(ray_session, small_corpus, golden):
     """media_mode='join' (hash-partitioned Dataset.join of span rows with
     the payload table) must produce the same result as the store mode."""
