@@ -102,44 +102,7 @@ def _evaluate_engine(sf_dir: str) -> Any:
     from pytorchocr_ray.ops.evaluate import evaluate_corpus
 
     corpus = _corpus_for(sf_dir)
-    # evaluate on the single-file corpus tables (media/media_gt live in
-    # sharded dirs here) — point at the dir parquet dataset
-    out = evaluate_corpus_sharded(corpus)
-    return pd.DataFrame([out])
-
-
-def evaluate_corpus_sharded(corpus_dir: str) -> dict:
-    import pyarrow.parquet as pq
-    import ray
-    import ray.data as rd
-
-    from pytorchocr_ray.ops import pool_size
-    from pytorchocr_ray.ops.evaluate import _EvalStage
-    from pytorchocr_ray.functions.metrics import (
-        combine_det_counters,
-        combine_rec_counters,
-    )
-    from ray.data.aggregate import Sum
-
-    gt_t = pq.read_table(os.path.join(corpus_dir, "media_gt"))
-    gt = dict(zip(gt_t["media_ref"].to_pylist(), gt_t["regions"].to_pylist()))
-    gt_ref = ray.put(gt)
-    ds = rd.read_parquet(
-        os.path.join(corpus_dir, "media"), columns=["media_ref", "data"]
-    )
-    counters = ds.map_batches(
-        _EvalStage,
-        batch_format="pyarrow",
-        batch_size=16,
-        concurrency=pool_size(),
-        fn_constructor_kwargs={"gt_ref": gt_ref},
-    )
-    cols = ["gt_care", "det_care", "matched", "rec_exact", "rec_sim", "rec_n"]
-    agg = counters.aggregate(*[Sum(c, alias_name=c) for c in cols])
-    sums = {c: float(agg[c]) for c in cols}
-    det = combine_det_counters([(sums["gt_care"], sums["det_care"], sums["matched"])])
-    rec = combine_rec_counters([(sums["rec_exact"], sums["rec_sim"], sums["rec_n"])])
-    return {**det, **rec}
+    return pd.DataFrame([evaluate_corpus(corpus, sharded=True)])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -53,10 +53,14 @@ def _conv1d_axis(img: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
     sl[axis] = slice(pad, pad + n)
     buf[tuple(sl)] = img
     out = np.zeros(img.shape, dtype=np.float32)
+    tmp = np.empty(img.shape, dtype=np.float32)  # reused per tap: the
+    # naive `out += k*view` allocates a fresh image-sized temp every tap
+    # (22 allocations per conv) — real cost under 30 concurrent actors
     kf = k.astype(np.float32)
     for i in range(taps):
         sl[axis] = slice(i, i + n)
-        out += kf[i] * buf[tuple(sl)]
+        np.multiply(buf[tuple(sl)], kf[i], out=tmp)
+        np.add(out, tmp, out=out)
     return out
 
 

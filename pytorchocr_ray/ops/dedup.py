@@ -76,19 +76,6 @@ def _token_ngrams(text: str, n: int = 3) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(S,) uint64 shingle hashes -> (P,) uint64 signature via universal
-    hashing  h_i(x) = (a_i * x + b_i) mod 2^61-1, then min over shingles."""
-    if shingle_hashes.size == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = shingle_hashes.astype(np.uint64) % _MERSENNE
-    # (P, S) universal hashes; modmul in python ints is slow — use float-safe
-    # splitting: (a*x) mod m with uint64 overflow-safe via np.uint64 mul mod
-    prod = (a[:, None] * x[None, :]) % _MERSENNE  # uint64 mul wraps mod 2^64
-    sig = (prod + b[:, None]) % _MERSENNE
-    return sig.min(axis=1)
-
-
 class MinHasher:
     """Stateful map_batches callable: seeded permutation params built once
     per actor (the compile-once pattern of reference ops chains)."""

@@ -83,20 +83,28 @@ class _EvalStage:
         )
 
 
-def evaluate_corpus(corpus_dir: str, concurrency: int | None = None) -> dict:
+def evaluate_corpus(
+    corpus_dir: str, concurrency: int | None = None, sharded: bool = False
+) -> dict:
     """Detection P/R/hmean + recognition accuracy of the engine against the
-    generator's ground truth, computed distributed."""
+    generator's ground truth, computed distributed.
+
+    ``sharded=True`` reads the ``media``/``media_gt`` parquet DIRECTORIES
+    produced by generate_corpus_ray instead of single files.
+    """
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
     from . import pool_size
 
-    gt_t = pq.read_table(f"{corpus_dir}/media_gt.parquet")
+    gt_path = f"{corpus_dir}/media_gt" if sharded else f"{corpus_dir}/media_gt.parquet"
+    media_path = f"{corpus_dir}/media" if sharded else f"{corpus_dir}/media.parquet"
+    gt_t = pq.read_table(gt_path)
     gt = dict(zip(gt_t["media_ref"].to_pylist(), gt_t["regions"].to_pylist()))
     gt_ref = ray.put(gt)
 
-    ds = rd.read_parquet(f"{corpus_dir}/media.parquet", columns=["media_ref", "data"])
+    ds = rd.read_parquet(media_path, columns=["media_ref", "data"])
     counters = ds.map_batches(
         _EvalStage,
         batch_format="pyarrow",
