@@ -194,6 +194,19 @@ def _box_score(prob_map: np.ndarray, box: np.ndarray, activate=None) -> float:
     ymax = int(np.clip(np.ceil(box[:, 1].max()), 0, h - 1))
     if xmax < xmin or ymax < ymin:
         return 0.0
+    region = prob_map[ymin : ymax + 1, xmin : xmax + 1]
+    # axis-aligned [tl,tr,br,bl] rect == its own bbox: every bbox pixel is
+    # inside (edge pixels have cross == 0), so the mask is all-true — skip
+    # the meshgrid/cross-product rasterization entirely
+    if (
+        box[0][1] == box[1][1]
+        and box[2][1] == box[3][1]
+        and box[0][0] == box[3][0]
+        and box[1][0] == box[2][0]
+    ):
+        if activate is not None:
+            region = activate(region)
+        return float(region.mean())
     xs, ys = np.meshgrid(
         np.arange(xmin, xmax + 1), np.arange(ymin, ymax + 1)
     )
@@ -205,7 +218,6 @@ def _box_score(prob_map: np.ndarray, box: np.ndarray, activate=None) -> float:
         inside &= cross >= 0
     if not inside.any():
         return 0.0
-    region = prob_map[ymin : ymax + 1, xmin : xmax + 1]
     if activate is not None:
         region = activate(region)
     return float(region[inside].mean())
@@ -250,7 +262,8 @@ def boxes_from_bitmap(
         edge = box[1] - box[0]
         angle = abs(np.degrees(np.arctan2(edge[1], edge[0])))
         tilt = min(angle % 90.0, 90.0 - (angle % 90.0))
-        if tilt < 15.0:
+        snapped = tilt < 15.0
+        if snapped:
             xmin, ymin = pts.min(axis=0)
             xmax, ymax = pts.max(axis=0)
             box = np.array(
@@ -264,8 +277,25 @@ def boxes_from_bitmap(
         score = _box_score(prob_map, _clockwise(box), activate)
         if score < box_thresh:
             continue
-        expanded = unclip(_clockwise(box), unclip_ratio)
-        box2, sside2 = get_mini_boxes(expanded)
+        if snapped:
+            # unclip of an axis-aligned rect is the rect grown by d on each
+            # side, and its min-area rect is itself — skip both general
+            # helpers (dominant path; identical math)
+            w_box = xmax - xmin
+            h_box = ymax - ymin
+            d = (w_box * h_box) * unclip_ratio / (2.0 * (w_box + h_box))
+            box2 = np.array(
+                [
+                    [xmin - d, ymin - d],
+                    [xmax + d, ymin - d],
+                    [xmax + d, ymax + d],
+                    [xmin - d, ymax + d],
+                ]
+            )
+            sside2 = min(w_box, h_box) + 2.0 * d
+        else:
+            expanded = unclip(_clockwise(box), unclip_ratio)
+            box2, sside2 = get_mini_boxes(expanded)
         if sside2 < min_size + 2:
             continue
         out = box2.copy()
