@@ -88,28 +88,3 @@ def nest_block(batch: pa.Table) -> pa.Table:
     spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), spans_struct)
     doc_ids = pa.array(ids[new_doc].tolist(), pa.string())
     return pa.table({"doc_id": doc_ids, "spans": spans}, schema=schemas.EXTRACTED)
-
-
-def to_nested(flat_sorted: pa.Table) -> pa.Table:
-    """Flat extracted rows (single doc, sorted by order) -> one nested row."""
-    doc_id = flat_sorted["doc_id"][0].as_py()
-    spans = [
-        {
-            "kind": k,
-            "text": t,
-            "media_ref": m,
-            "order": o,
-        }
-        for k, t, m, o in zip(
-            flat_sorted["kind"].to_pylist(),
-            flat_sorted["text"].to_pylist(),
-            flat_sorted["media_ref"].to_pylist(),
-            flat_sorted["order"].to_pylist(),
-        )
-    ]
-    from .. import schemas
-
-    return pa.table(
-        {"doc_id": [doc_id], "spans": [spans]},
-        schema=schemas.EXTRACTED,
-    )
