@@ -91,6 +91,49 @@ def test_sort_boxes_permutation_invariant(tls):
     np.testing.assert_array_equal(a, b)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 30),
+    st.integers(0, 30),
+    st.integers(8, 60),
+    st.integers(8, 60),
+    st.floats(0.8, 2.5),
+)
+def test_closed_form_unclip_matches_general(x0, y0, w, h, ratio):
+    """The snapped-path shortcut in boxes_from_bitmap (rect grown by d per
+    side, skip min_area_rect) must equal unclip + get_mini_boxes."""
+    from pytorchocr_ray.functions.geometry import get_mini_boxes, unclip
+
+    rect = np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]], dtype=float
+    )
+    general, sside_g = get_mini_boxes(unclip(rect, ratio))
+    d = (w * h) * ratio / (2.0 * (w + h))
+    closed = np.array(
+        [
+            [x0 - d, y0 - d],
+            [x0 + w + d, y0 - d],
+            [x0 + w + d, y0 + h + d],
+            [x0 - d, y0 + h + d],
+        ]
+    )
+    np.testing.assert_allclose(general, closed, atol=1e-8)
+    assert abs(sside_g - (min(w, h) + 2 * d)) < 1e-8
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(4, 40), st.integers(4, 40), st.integers(0, 2**32 - 1))
+def test_box_score_fast_path_is_region_mean(w, h, seed):
+    from pytorchocr_ray.functions.dbpost import _box_score
+
+    rng = np.random.default_rng(seed)
+    prob = rng.random((h + 10, w + 10)).astype(np.float32)
+    box = np.array([[3, 4], [3 + w, 4], [3 + w, 4 + h], [3, 4 + h]], dtype=float)
+    got = _box_score(prob, box)
+    want = float(prob[4 : 4 + h + 1, 3 : 3 + w + 1].mean())
+    assert abs(got - want) < 1e-7
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.integers(1, 60), st.integers(1, 60), st.integers(0, 2**32 - 1))
 def test_png_roundtrip_random(h, w, seed):
