@@ -69,6 +69,21 @@ def test_partitioned_run_matches_single_run(ray_session, paths, tmp_path, small_
         assert rec["checksum"].startswith("0x")
 
 
+def test_output_invariant_to_bucket_count(ray_session, paths, tmp_path):
+    """Partitioning is a physical choice: the union of all partitions must
+    be identical for any n_buckets."""
+    from pytorchocr_ray.pipelines.runner import read_extracted, run_partitioned
+
+    docs_path, media_path = paths
+    out2 = str(tmp_path / "b2")
+    out5 = str(tmp_path / "b5")
+    run_partitioned(docs_path, media_path, out2, n_buckets=2, concurrency=2)
+    run_partitioned(docs_path, media_path, out5, n_buckets=5, concurrency=2)
+    pd.testing.assert_frame_equal(
+        _canon(read_extracted(out2)), _canon(read_extracted(out5))
+    )
+
+
 def test_resume_after_injected_failure(ray_session, paths, tmp_path):
     from pytorchocr_ray.pipelines.runner import read_extracted, run_partitioned
 
