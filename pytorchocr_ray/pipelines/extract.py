@@ -156,6 +156,10 @@ def extract_dataset(
                 "config": config,
             },
         )
+    if reassemble == "none":
+        # raw post-OCR rows (full OCR_OUT_SCHEMA incl box/prob), no
+        # projection, no reassembly — the regions-table building block
+        return ds
     ds = ds.select_columns(["doc_id", "offset", "region_idx", "kind", "text", "media_ref"])
     if reassemble == "local":
         # zero-shuffle: documents are block-contiguous by construction
@@ -163,6 +167,22 @@ def extract_dataset(
         # stages/reassemble.py for the guarantee
         return ds.map_batches(reassemble_block, batch_format="pyarrow", batch_size=None)
     return ds.groupby("doc_id").map_groups(reassemble_group, batch_format="pyarrow")
+
+
+def extract_regions(docs_path: str, media_path: str | None = None, **kw):
+    """The flat ``regions`` intermediate table (SURVEY.md §1.2): one row per
+    OCR'd region with its int16 box and confidence — the analog of the
+    reference's per-image result rows (deploy/pytorch/run_ocr.py:263-271),
+    before reassembly. Text spans are filtered out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kw["reassemble"] = "none"
+    ds = extract_dataset(docs_path, media_path, **kw)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "offset", "region_idx", "media_ref", "box", "prob", "text"])
 
 
 def extract_nested(docs_path: str, media_path: str | None = None, **kw):

@@ -67,6 +67,26 @@ def test_shuffle_reassembly_matches_oracle(ray_session, small_corpus, golden):
     pd.testing.assert_frame_equal(got, golden)
 
 
+def test_regions_table(ray_session, small_corpus, golden):
+    """extract_regions exposes the per-region intermediate (box + prob)."""
+    import numpy as np
+
+    from pytorchocr_ray.pipelines.extract import extract_regions
+
+    df = extract_regions(
+        os.path.join(small_corpus, "documents.parquet"),
+        os.path.join(small_corpus, "media.parquet"),
+        concurrency=2,
+    ).to_pandas()
+    media_golden = golden[golden["kind"] == "media"]
+    assert len(df) == len(media_golden)
+    # every region has an 8-value int16 box and a confidence in [0, 1]
+    assert all(len(b) == 8 for b in df["box"])
+    assert ((df["prob"] >= 0) & (df["prob"] <= 1)).all()
+    # same texts as the reassembled output (as multisets)
+    assert sorted(df["text"]) == sorted(media_golden["text"])
+
+
 def test_nested_output_matches_flat(ray_session, small_corpus, golden):
     """extract_nested emits one row per doc with the EXTRACTED schema and
     the same span content as the flat plan."""
