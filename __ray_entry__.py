@@ -96,6 +96,18 @@ def _sessionize_sql() -> str:
     return sessionize_sql()
 
 
+def _asof_last_view(sf_dir: str) -> Any:
+    from pytorchocr_ray.ops.sessions import asof_last_view
+
+    return asof_last_view(sf_dir)
+
+
+def _asof_sql() -> str:
+    from pytorchocr_ray.ops.sessions import ASOF_LAST_VIEW_SQL
+
+    return ASOF_LAST_VIEW_SQL
+
+
 def _evaluate_engine(sf_dir: str) -> Any:
     import pandas as pd
 
@@ -140,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": relational.user_activity,
         "supplier_nation": relational.supplier_nation,
         "sessionize": _sessionize,
+        "asof_last_view": _asof_last_view,
     }
 
 
@@ -161,4 +174,5 @@ def oracle_sql() -> dict[str, str]:
         "user_activity": relational.USER_ACTIVITY_SQL,
         "supplier_nation": relational.SUPPLIER_NATION_SQL,
         "sessionize": _sessionize_sql(),
+        "asof_last_view": _asof_sql(),
     }

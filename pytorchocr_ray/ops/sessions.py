@@ -51,6 +51,66 @@ def sessionize(sf_dir: str, gap_minutes: int = GAP_MINUTES):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def asof_last_view(sf_dir: str):
+    """As-of join: for every 'purchase' event, the most recent 'view' by
+    the same user at or before it (ray_guide as-of pattern: sort within the
+    user group, pd.merge_asof backward). NULL view_epoch when no prior view.
+
+    -> (user_id, purchase_epoch, view_epoch nullable), epoch = floor seconds.
+    Partitioning assumption: one user's events fit one group (same as
+    sessionize).
+    """
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="stable")
+        purchases = g[g["event_type"] == "purchase"][["ts"]]
+        views = g[g["event_type"] == "view"][["ts"]].rename(columns={"ts": "view_ts"})
+        if purchases.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "purchase_epoch": pd.Series([], dtype=np.int64),
+                    "view_epoch": pd.Series([], dtype=np.float64),
+                }
+            )
+        merged = pd.merge_asof(
+            purchases, views, left_on="ts", right_on="view_ts", direction="backward"
+        )
+
+        def to_epoch(s):
+            return s.astype("datetime64[us]").astype("int64") // 1_000_000
+
+        # view_epoch carried as float64 (NaN = no prior view): pandas
+        # nullable Int64 does not survive the Arrow conversion, and epoch
+        # seconds are exact in float64
+        ve = to_epoch(merged["view_ts"].fillna(pd.Timestamp(0))).astype(np.float64)
+        ve[merged["view_ts"].isna().to_numpy()] = np.nan
+        return pd.DataFrame(
+            {
+                "user_id": np.int64(group["user_id"].iloc[0]),
+                "purchase_epoch": to_epoch(merged["ts"]).astype(np.int64),
+                "view_epoch": ve.to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ASOF_LAST_VIEW_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_type,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS last_view
+  FROM events)
+SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+       CAST(floor(epoch(last_view)) AS BIGINT) AS view_epoch
+FROM m WHERE event_type = 'purchase'
+"""
+
+
 def sessionize_sql(gap_minutes: int = GAP_MINUTES) -> str:
     return f"""
 WITH marked AS (
