@@ -30,7 +30,7 @@ class OcrConfig:
     limit_side_len: int = 736
     limit_type: str = "max"
     use_cls: bool = True
-    det_postprocess: str = "db"  # "db" (DBPostProcess) | "pse" (PSE-style)
+    det_postprocess: str = "db"  # "db" | "pse" | "pan" (post-process family)
 
 
 class OcrEngine:
@@ -51,7 +51,25 @@ class OcrEngine:
         # activate only inside candidate boxes (identical results, no
         # full-image sigmoid — the stage is memory-bandwidth bound)
         smooth = self.det.smooth(resized)
-        if self.cfg.det_postprocess == "pse":
+        if self.cfg.det_postprocess == "pan":
+            from .panpost import pan_boxes_from_smooth
+
+            t = self.det.smooth_threshold(self.cfg.thresh)
+            boxes, _scores = pan_boxes_from_smooth(
+                smooth,
+                self.det.activate,
+                src_h,
+                src_w,
+                kernel_thresh=t + 0.04,
+                text_thresh=t,
+                score_thresh=self.cfg.box_thresh,
+            )
+        elif self.cfg.det_postprocess not in ("db", "pse"):
+            raise ValueError(
+                f"unknown det_postprocess {self.cfg.det_postprocess!r}; "
+                "choose 'db', 'pse' or 'pan'"
+            )
+        elif self.cfg.det_postprocess == "pse":
             from .psepost import pse_boxes_from_smooth
 
             t = self.det.smooth_threshold(self.cfg.thresh)

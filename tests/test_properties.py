@@ -34,13 +34,14 @@ def test_min_area_rect_contains_all_points(pts):
     c = corners.mean(axis=0)
     u = corners[1] - corners[0]
     v = corners[3] - corners[0]
+    tol = 1e-8 * max(1.0, float(np.abs(pts).max()))  # scale-aware float slack
     for axis in (u, v):
         n = np.linalg.norm(axis)
         if n < 1e-9:
             continue
         proj = (pts - c) @ (axis / n)
-        assert proj.max() <= n / 2 + 1e-6
-        assert proj.min() >= -n / 2 - 1e-6
+        assert proj.max() <= n / 2 + tol
+        assert proj.min() >= -n / 2 - tol
 
 
 @settings(max_examples=80, deadline=None)
