@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": relational.revenue_by_segment,
         "revenue_by_segment_join": relational.revenue_by_segment_join,
         "top_customers": relational.top_customers,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         "events_hourly": relational.events_hourly,
         "user_activity": relational.user_activity,
         "supplier_nation": relational.supplier_nation,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "revenue_by_segment_join": relational.REVENUE_BY_SEGMENT_SQL,
         "top_customers": relational.top_customers_sql(),
+        "top_orders_per_customer": relational.top_orders_per_customer_sql(),
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "user_activity": relational.USER_ACTIVITY_SQL,
         "supplier_nation": relational.SUPPLIER_NATION_SQL,

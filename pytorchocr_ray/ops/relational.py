@@ -205,6 +205,34 @@ FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT {k}
 """
 
 
+def top_orders_per_customer(sf_dir: str, k: int = 2):
+    """Per-group top-k (the ROW_NUMBER window shape): each customer's k
+    highest-value orders. groupby(key).map_groups with an in-group sort —
+    never a global sort."""
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["o_totalprice"] = g["o_totalprice"].round(2)
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+
+    return ds.groupby("o_custkey").map_groups(per_group, batch_format="pandas")
+
+
+def top_orders_per_customer_sql(k: int = 2) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+FROM orders QUALIFY rank <= {k}
+"""
+
+
 def events_hourly(sf_dir: str):
     """Event-time tumbling window (1h) aggregate — Ray Data has no native
     windows, so the window key is computed vectorized per batch and the
