@@ -6,9 +6,11 @@ The driver initialises Ray itself; nothing here (or in the library) calls
 * ``entry()`` — flagship interleaved-corpus extraction at sf0.001 scale.
 * ``queries()`` — every implemented operator/pipeline (SURVEY.md §2 +
   training-data ops), each a callable of ``sf_dir``.
-* ``oracle_sql()`` — DuckDB twins for the SQL-expressible subset; the OCR
-  pipeline and sketch-based ops are genuinely non-SQL-expressible (model
-  inference / signatures) and get rows-only checks.
+* ``oracle_sql()`` — DuckDB twins for every query except the stubbed
+  audio/video decode stages and the engine-metric aggregate (genuinely
+  non-SQL: fake binary decoders / model evaluation).  Round 2 re-based the
+  sketch ops (fingerprint, simhash, minhash, embedding LSH, IVF) on
+  SQL-expressible hashes so they are hash-verified too.
 
 The interleaved corpus itself is synthesized deterministically per sf_dir
 (seed fixed, cached under /tmp) because the BASELINE input_hint's
@@ -129,15 +131,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": textstats.doc_stats,
         "lang_id": textstats.lang_id,
         "term_freq": textstats.term_freq,
-        "fingerprint": textstats.fingerprint,  # rows-only (rolling hash)
+        "fingerprint": textstats.fingerprint,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
-        "minhash_pairs": dedup.minhash_pairs,  # rows-only (sketch)
-        "simhash_pairs": dedup.simhash_pairs,  # rows-only (sketch)
-        "embedding_neardup": dedup.embedding_neardup,  # rows-only (LSH)
+        "minhash_pairs": dedup.minhash_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_neardup": dedup.embedding_neardup,
         # similarity search
         "simsearch_topk": simsearch.topk_bruteforce,
-        "simsearch_ivf": simsearch.topk_ivf,  # rows-only (ANN)
+        "simsearch_ivf": simsearch.topk_ivf,
         # multimodal binary-payload stages (stubbed decode; rows-only)
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -162,11 +164,16 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "normalize_docs": textstats.NORMALIZE_DOCS_SQL,
+        "fingerprint": textstats.fingerprint_sql(),
         "doc_stats": textstats.DOC_STATS_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "term_freq": textstats.term_freq_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "minhash_pairs": dedup.minhash_pairs_sql(),
+        "simhash_pairs": dedup.simhash_pairs_sql(),
+        "embedding_neardup": dedup.embedding_neardup_sql(),
         "simsearch_topk": simsearch.topk_bruteforce_sql(),
+        "simsearch_ivf": simsearch.topk_ivf_sql(),
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "revenue_by_segment_join": relational.REVENUE_BY_SEGMENT_SQL,

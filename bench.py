@@ -91,7 +91,7 @@ def run_bench() -> dict:
     timed("extract", run_extract)
     timed("q1_pricing", lambda: relational.q1_pricing(SF_DIR).to_pandas())
     timed("dedup_exact", lambda: dedup_exact_count(dedup, SF_DIR))
-    timed("minhash_pairs", lambda: dedup.minhash_pairs(SF_DIR).num_rows)
+    timed("minhash_pairs", lambda: dedup.minhash_pairs(SF_DIR).count())
     timed("simsearch_topk", lambda: simsearch.topk_bruteforce(SF_DIR).to_pandas())
     timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())

@@ -102,40 +102,75 @@ QUALIFY rank <= {k}
 """
 
 
-def topk_ivf(
-    sf_dir: str, k: int = 5, nq: int = 8, n_centroids: int = 16, nprobe: int = 4, seed: int = 3
-):
-    """IVF-style ANN: coarse-quantize vectors to seeded random centroids,
-    search only the query's ``nprobe`` nearest buckets."""
-    import ray
+EMB_SCALE = 1_000_000  # shared with ops/dedup.py embedding quantization
+
+
+def _quantize(emb: np.ndarray) -> np.ndarray:
+    return np.floor(emb * EMB_SCALE + 0.5).astype(np.int64)
+
+
+def _qcos(qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Exact-deterministic cosine between int64-quantized vector sets:
+    every dot is an exact integer in float64, the division is one IEEE op —
+    bit-identical to DuckDB's ``dot/(sqrt(na)*sqrt(nb))``. (qa: (n,d),
+    qb: (m,d)) -> (n, m)."""
+    num = qa.astype(np.float64) @ qb.astype(np.float64).T
+    na = np.sqrt((qa.astype(np.float64) ** 2).sum(axis=1))
+    nb = np.sqrt((qb.astype(np.float64) ** 2).sum(axis=1))
+    return num / (na[:, None] * nb[None, :])
+
+
+def _load_quantized(sf_dir: str, upto: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    qids, qmat = _load_queries(sf_dir, nq)
-    # seeded centroids from a bounded HEAD SAMPLE of the table (first row
-    # group), never a full-table driver read — at 100 TB the coarse
-    # quantizer trains on a sample by definition
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    head = pf.read_row_group(0, columns=["embedding"])
-    sample = _normalize(np.asarray(head["embedding"].to_pylist(), dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    pick = rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)
-    cent = _normalize(sample[pick])
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", upto)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
+    return (
+        df["vec_id"].to_numpy(np.int64),
+        _quantize(np.asarray(df["embedding"].tolist(), dtype=np.float64)),
+    )
+
+
+def topk_ivf(
+    sf_dir: str, k: int = 5, nq: int = 8, n_centroids: int = 16, nprobe: int = 4
+):
+    """IVF-style ANN: coarse-quantize vectors to a deterministic centroid
+    set, search only the query's ``nprobe`` nearest buckets.
+
+    Round 2: centroids are the first ``n_centroids`` vectors by vec_id and
+    all similarities use the exact quantized cosine — the whole pipeline
+    (assignment, probing, ranking) now has a value-exact DuckDB twin.  At
+    web scale you would swap the fixed-row quantizer for k-means trained
+    on a head sample; the assign/probe/rank shapes are identical.
+    """
+    import ray
+
+    qids, qmat = _load_quantized(sf_dir, nq)
+    _cids, cent = _load_quantized(sf_dir, n_centroids)
     state = ray.put((qids, qmat, cent))
 
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def assign_and_score(batch: pa.Table) -> pa.Table:
         ids, q, c = ray.get(state)
-        emb = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        emb = _quantize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
         vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        vb = (emb @ c.T).argmax(axis=1)  # vector -> bucket
-        probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]  # query -> buckets
+        vc = _qcos(emb, c)  # (B, C)
+        # first max = lowest centroid id on ties (matches SQL ORDER BY
+        # cos DESC, cid ASC LIMIT 1)
+        vb = vc.argmax(axis=1)
+        qc = _qcos(q, c)  # (nq, C)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids)):
-            mask = np.isin(vb, probe[qi])
+            probe = np.lexsort((np.arange(c.shape[0]), -qc[qi]))[:nprobe]
+            mask = np.isin(vb, probe)
             if not mask.any():
                 continue
-            s = q[qi] @ emb[mask].T
+            s = _qcos(q[qi : qi + 1], emb[mask])[0]
             sub_ids = vids[mask]
             idx = np.lexsort((sub_ids, -s))[: min(k, len(sub_ids))]
             out_q.extend([ids[qi]] * len(idx))
@@ -160,3 +195,48 @@ def topk_ivf(
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def topk_ivf_sql(
+    k: int = 5, nq: int = 8, n_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """DuckDB twin of topk_ivf: identical quantization, centroid set,
+    assignment tie-break, probe set, and ranking order."""
+    cos = (
+        "list_dot_product({a}.qd, {b}.qd) "
+        "/ (sqrt(list_dot_product({a}.qd, {a}.qd)) "
+        "* sqrt(list_dot_product({b}.qd, {b}.qd)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, qd FROM e WHERE vec_id < {n_centroids}),
+q AS (SELECT vec_id AS query_id, qd FROM e WHERE vec_id < {nq}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v', b='c')} DESC, c.cid ASC) AS rn
+    FROM e v CROSS JOIN cent c) WHERE rn = 1),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q', b='c')} DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {nprobe})
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, v.vec_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {cos.format(a='q', b='v')} DESC, v.vec_id ASC)
+         AS BIGINT) AS rank
+  FROM q
+  JOIN probe p ON p.query_id = q.query_id
+  JOIN assign a ON a.cid = p.cid
+  JOIN e v ON v.vec_id = a.vec_id)
+WHERE rank <= {k}
+"""

@@ -176,24 +176,36 @@ GROUP BY t ORDER BY cnt DESC, token ASC LIMIT {k}
 
 
 def fingerprint(sf_dir: str):
-    """(doc_id, fp) — 63-bit polynomial rolling hash over the token stream
-    (document fingerprinting; no SQL twin — rows-only check)."""
+    """(doc_id, fp) — polynomial rolling hash over the token stream
+    (document fingerprinting).  Re-based on the SQL-expressible 31-bit
+    polynomial hash (ops/hashing.py) so the DuckDB oracle can verify it;
+    fully vectorized (no per-token Python loop): one char-level hash pass
+    over the batch's tokens, one segment-Horner pass per document."""
+    from .hashing import poly_hash_segments, poly_hash_strings, tokenize_batch
+
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    MOD = np.uint64((1 << 61) - 1)
-    BASE = np.uint64(1099511628211)
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        fps = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = pd.Series(t.split()) if t else pd.Series([], dtype=object)
-            hs = pd.util.hash_array(toks.to_numpy(dtype=object)) if len(toks) else np.array([], dtype=np.uint64)
-            acc = np.uint64(0)
-            for h in hs:
-                acc = (acc * BASE + np.uint64(h)) % MOD
-            fps[i] = acc
+        flat, lens = tokenize_batch(batch["text"].to_pylist())
+        th = poly_hash_strings(flat)
+        fps = poly_hash_segments(th, lens)
         return pa.table(
             {"doc_id": batch["doc_id"], "fp": pa.array(fps.astype(np.int64))}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint_sql() -> str:
+    from .hashing import B_TOK, M31, sql_char_hash, sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+SELECT doc_id,
+       CASE WHEN len({toks}) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform({toks}, t -> {sql_char_hash('t')}),
+                   (a, h) -> (a * {B_TOK} + h) % {M31})
+       END AS fp
+FROM documents
+"""

@@ -1,0 +1,137 @@
+"""Engine-vs-DuckDB value parity for the round-2 SQL-expressible sketches.
+
+These pin the exact-match contract the driver's CORRECTNESS gate checks:
+every re-based sketch op (fingerprint, simhash, minhash, embedding LSH,
+IVF ANN) must produce value-identical rows to its generated SQL twin on a
+corpus WITH planted near-duplicates (the shipped testdata has none, so
+these paths would otherwise go untested).
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def parity_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("parity")
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(150)]
+    texts = [" ".join(rng.choice(vocab, 50)) for _ in range(30)]
+    for i in range(4):  # near-dups of 0..3
+        toks = texts[i].split()
+        del toks[5]
+        texts.append(" ".join(toks))
+    texts.append(texts[7])  # exact dup
+    texts.append("one")  # single-token doc (shingle edge case)
+    texts.append("two tok")  # sub-ngram doc
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    dim = 16
+    base = rng.standard_normal((25, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [base]
+    for i in range(3):  # planted near-dups of 0..2
+        v = base[i] + 0.05 * rng.standard_normal(dim)
+        rows.append((v / np.linalg.norm(v))[None, :])
+    emb = np.vstack(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(emb)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in emb], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(parity_dir):
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{parity_dir}/documents.parquet')"
+    )
+    c.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{parity_dir}/embeddings.parquet')"
+    )
+    return c
+
+
+def _match(engine_df, oracle_df, keys):
+    e = engine_df.sort_values(keys).reset_index(drop=True)
+    o = oracle_df.sort_values(keys).reset_index(drop=True)
+    assert list(e.columns) == list(o.columns)
+    assert e.astype(np.int64).equals(o.astype(np.int64)), (
+        f"engine:\n{e}\noracle:\n{o}"
+    )
+
+
+def test_fingerprint_parity(ray_session, parity_dir, con):
+    from pytorchocr_ray.ops.textstats import fingerprint, fingerprint_sql
+
+    _match(
+        fingerprint(parity_dir).to_pandas(),
+        con.sql(fingerprint_sql()).df(),
+        ["doc_id"],
+    )
+
+
+def test_simhash_pairs_parity(ray_session, parity_dir, con):
+    from pytorchocr_ray.ops.dedup import simhash_pairs, simhash_pairs_sql
+
+    e = simhash_pairs(parity_dir).to_pandas()
+    assert (e["hamming"] == 0).any()  # the exact dup is found
+    _match(e, con.sql(simhash_pairs_sql()).df(), ["doc_a", "doc_b"])
+
+
+def test_minhash_pairs_parity(ray_session, parity_dir, con):
+    from pytorchocr_ray.ops.dedup import minhash_pairs, minhash_pairs_sql
+
+    e = minhash_pairs(parity_dir).to_pandas()
+    found = set(zip(e["doc_a"], e["doc_b"]))
+    for i in range(4):
+        assert (i, 30 + i) in found  # planted near-dups survive verify
+    _match(e, con.sql(minhash_pairs_sql()).df(), ["doc_a", "doc_b"])
+
+
+def test_embedding_neardup_parity(ray_session, parity_dir, con):
+    from pytorchocr_ray.ops.dedup import embedding_neardup, embedding_neardup_sql
+
+    e = embedding_neardup(parity_dir, threshold=0.9).to_pandas()
+    found = set(zip(e["vec_a"], e["vec_b"]))
+    for i in range(3):
+        assert (i, 25 + i) in found
+    _match(
+        e,
+        con.sql(embedding_neardup_sql(dim=16, threshold=0.9)).df(),
+        ["vec_a", "vec_b"],
+    )
+
+
+def test_topk_ivf_parity(ray_session, parity_dir, con):
+    from pytorchocr_ray.ops.simsearch import topk_ivf, topk_ivf_sql
+
+    e = topk_ivf(parity_dir, k=3, nq=4, n_centroids=8, nprobe=3).to_pandas()
+    assert len(e) > 0
+    _match(
+        e,
+        con.sql(topk_ivf_sql(k=3, nq=4, n_centroids=8, nprobe=3)).df(),
+        ["query_id", "rank"],
+    )
