@@ -28,15 +28,16 @@ _SEED = 42
 
 
 def _corpus_for(sf_dir: str) -> str:
-    """Deterministic synthetic interleaved corpus sized to the sf_dir."""
+    """Deterministic synthetic interleaved corpus sized to the sf_dir.
+    The cache path embeds a content-version token (hash of the generator
+    sources) so generator changes can never reuse a stale cached corpus."""
     import pyarrow.parquet as pq
 
-    from pytorchocr_ray.synth.generate import generate_corpus_ray
+    from pytorchocr_ray.synth.generate import corpus_path, generate_corpus_ray
 
     n_rows = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     n_docs = max(50, n_rows)
-    out = f"/tmp/pytorchocr_ray_corpus/n{n_docs}_s{_SEED}"
-    return generate_corpus_ray(out, n_docs=n_docs, seed=_SEED)
+    return generate_corpus_ray(corpus_path(n_docs, _SEED), n_docs=n_docs, seed=_SEED)
 
 
 def _extract(sf_dir: str, **kw) -> Any:
@@ -162,7 +163,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
 
+    # The flagship extraction oracle is the generator's GROUND-TRUTH span
+    # table (normalized text spans + rendered transcripts in reading
+    # order), written next to the corpus at synthesis time — an oracle
+    # STRONGER than a SQL reimplementation: the engine must reproduce the
+    # rendered truth, not merely agree with another program.  The driver
+    # compares at sf0.01; materialize that corpus now so the SQL can read
+    # it regardless of call order.
+    corpus = _corpus_for("/root/testdata/sf0.01")
+    extract_sql = (
+        'SELECT doc_id, "order", kind, text, media_ref '
+        f"FROM read_parquet('{corpus}/expected/*.parquet')"
+    )
+
     return {
+        "extract_interleaved": extract_sql,
+        "extract_split_plan": extract_sql,
         "normalize_docs": textstats.NORMALIZE_DOCS_SQL,
         "fingerprint": textstats.fingerprint_sql(),
         "doc_stats": textstats.DOC_STATS_SQL,

@@ -58,12 +58,10 @@ def run_bench() -> dict:
 
     from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
     from pytorchocr_ray.pipelines.extract import extract_dataset
-    from pytorchocr_ray.synth.generate import generate_corpus_ray
+    from pytorchocr_ray.synth.generate import corpus_path, generate_corpus_ray
 
     n_docs = corpus_docs_for(SF_DIR)
-    corpus = generate_corpus_ray(
-        f"/tmp/pytorchocr_ray_corpus/n{n_docs}_s42", n_docs=n_docs, seed=42
-    )
+    corpus = generate_corpus_ray(corpus_path(n_docs, 42), n_docs=n_docs, seed=42)
 
     # warm the page cache (untimed): one pass over the inputs
     import pyarrow.parquet as pq

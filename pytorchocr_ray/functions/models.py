@@ -102,20 +102,28 @@ class DetModel:
         return self.activate(self.smooth(gray_resized))
 
 
+_REC_MAX_ROW_GAP = 4  # rows; > intra-glyph gaps (<=4), << line gaps (>=12)
+
+
 def rec_prepare(crop: np.ndarray) -> np.ndarray | None:
     """Crop -> scale-normalized ink map of height GLYPH_H, or None if blank.
 
-    The text band is the run of CONSECUTIVE ink rows with the largest ink
-    mass — unclip margins can pull slivers of a neighboring line into the
-    crop, and those arrive as separate row-runs that must be ignored.
+    The text band is the run of NEAR-consecutive ink rows with the largest
+    ink mass — unclip margins can pull slivers of a neighboring line into
+    the crop, and those arrive as separate row-runs that must be ignored.
+    Runs separated by <= _REC_MAX_ROW_GAP empty rows are merged: glyphs can
+    contain internal empty row pairs (e.g. 'e'), and a word whose every
+    glyph shares that gap ("ee") would otherwise split its own text line
+    and mis-center the window; true neighbor-line slivers sit >= ~12 rows
+    away (corpus band gap 28px minus ~16px unclip reach).
     """
     d = ink_density(crop)
     row_ink = (d > 0.5).sum(axis=1)
     has = np.flatnonzero(row_ink > 0)
     if has.size == 0:
         return None
-    # split into runs of consecutive ink rows, pick max total ink
-    breaks = np.flatnonzero(np.diff(has) > 1)
+    # split into runs of near-consecutive ink rows, pick max total ink
+    breaks = np.flatnonzero(np.diff(has) > _REC_MAX_ROW_GAP)
     starts = np.concatenate([[0], breaks + 1])
     ends = np.concatenate([breaks, [has.size - 1]])
     best = int(np.argmax([row_ink[has[s] : has[e] + 1].sum() for s, e in zip(starts, ends)]))

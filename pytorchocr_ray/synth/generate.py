@@ -182,9 +182,15 @@ def _text_span(rng: np.random.Generator) -> str:
 
 def generate_docs(
     doc_indices: np.ndarray, seed: int = 42
-) -> tuple[pa.Table, pa.Table, pa.Table]:
-    """Generate (documents, media, media_gt) tables for the given doc ids."""
+) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
+    """Generate (documents, media, media_gt, expected_flat) tables for the
+    given doc ids.  ``expected_flat`` is the GROUND-TRUTH extraction result
+    (doc_id, order, kind, text, media_ref) built from generator knowledge —
+    normalized text spans + rendered transcripts in reading order — and is
+    the independent oracle the driver's SQL check reads (the engine must
+    reproduce it without ever seeing it)."""
     from ..functions.png import encode_gray
+    from ..functions.text_norm import normalize_text
 
     glyphs = build_glyphs()
     doc_ids: list[str] = []
@@ -195,6 +201,11 @@ def generate_docs(
     m_h: list[int] = []
     gt_refs: list[str] = []
     gt_regions: list[list[dict]] = []
+    e_doc: list[str] = []
+    e_order: list[int] = []
+    e_kind: list[str] = []
+    e_text: list[str] = []
+    e_ref: list[str] = []
 
     for di in doc_indices:
         di = int(di)
@@ -212,19 +223,24 @@ def generate_docs(
         rng.shuffle(kinds)
         kinds = kinds[:16]
         spans: list[dict] = []
+        # (offset, ridx, kind, text, ref); offsets are strictly increasing
+        # by construction so the (offset, ridx) sort is unambiguous
+        exp_rows: list[tuple[int, int, str, str, str]] = []
         offset = 0
         mi = 0
         for kind in kinds:
             offset += int(rng.integers(1, 10))
             if kind == "text":
+                raw = _text_span(rng)
                 spans.append(
                     {
                         "kind": "text",
-                        "text": _text_span(rng),
+                        "text": raw,
                         "media_ref": "",
                         "offset": offset,
                     }
                 )
+                exp_rows.append((offset, 0, "text", normalize_text(raw), ""))
             else:
                 ref = f"img-{di:08d}-{mi:02d}"
                 mi += 1
@@ -243,8 +259,17 @@ def generate_docs(
                 spans.append(
                     {"kind": "media", "text": "", "media_ref": ref, "offset": offset}
                 )
+                for ridx, (_box, text) in enumerate(regions):
+                    exp_rows.append((offset, ridx, "media", text, ref))
         doc_ids.append(doc_id)
         doc_spans.append(spans)
+        exp_rows.sort(key=lambda r: (r[0], r[1]))
+        for order, (_off, _ridx, k, t, ref) in enumerate(exp_rows):
+            e_doc.append(doc_id)
+            e_order.append(order)
+            e_kind.append(k)
+            e_text.append(t)
+            e_ref.append(ref)
 
     documents = pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": doc_spans}, schema=schemas.DOCUMENTS
@@ -256,16 +281,54 @@ def generate_docs(
     media_gt = pa.Table.from_pydict(
         {"media_ref": gt_refs, "regions": gt_regions}, schema=schemas.MEDIA_GT
     )
-    return documents, media, media_gt
+    expected = pa.table(
+        {
+            "doc_id": pa.array(e_doc, pa.string()),
+            "order": pa.array(e_order, pa.int32()),
+            "kind": pa.array(e_kind, pa.string()),
+            "text": pa.array(e_text, pa.string()),
+            "media_ref": pa.array(e_ref, pa.string()),
+        },
+        schema=schemas.EXTRACTED_FLAT,
+    )
+    return documents, media, media_gt, expected
+
+
+def corpus_version() -> str:
+    """Content token for the /tmp corpus cache: a hash of every source file
+    the generated bytes/GT depend on, so changing the generator, glyph bank,
+    normalizer, or PNG codec invalidates cached corpora instead of silently
+    reusing stale ones."""
+    import hashlib
+    import sys
+
+    from .. import schemas as _schemas
+    from ..functions import charset as _charset
+    from ..functions import png as _png
+    from ..functions import text_norm as _tn
+
+    h = hashlib.sha256()
+    for mod in (sys.modules[__name__], _schemas, _charset, _png, _tn):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+def corpus_path(n_docs: int, seed: int = 42) -> str:
+    """Canonical cached-corpus location, keyed by size, seed AND content
+    version (ADVICE r1: a (n, seed)-only key reused stale corpora across
+    generator changes)."""
+    return f"/tmp/pytorchocr_ray_corpus/n{n_docs}_s{seed}_v{corpus_version()}"
 
 
 def generate_corpus(out_dir: str, n_docs: int, seed: int = 42) -> str:
     """Single-process corpus write (tests / small fixtures)."""
     os.makedirs(out_dir, exist_ok=True)
-    docs, media, gt = generate_docs(np.arange(n_docs), seed)
+    docs, media, gt, expected = generate_docs(np.arange(n_docs), seed)
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
     pq.write_table(media, os.path.join(out_dir, "media.parquet"))
     pq.write_table(gt, os.path.join(out_dir, "media_gt.parquet"))
+    pq.write_table(expected, os.path.join(out_dir, "expected.parquet"))
     return out_dir
 
 
@@ -282,21 +345,25 @@ def generate_corpus_ray(
     marker = os.path.join(out_dir, f"_SUCCESS_{n_docs}_{seed}")
     if os.path.exists(marker):
         return out_dir
-    for sub in ("documents", "media", "media_gt"):
+    for sub in ("documents", "media", "media_gt", "expected"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
-    @ray.remote
-    def _shard(lo: int, hi: int) -> None:
-        docs, media, gt = generate_docs(np.arange(lo, hi), seed)
+    def _write(lo: int, hi: int) -> None:
+        docs, media, gt, expected = generate_docs(np.arange(lo, hi), seed)
         pq.write_table(docs, os.path.join(out_dir, "documents", f"part-{lo:08d}.parquet"))
         pq.write_table(media, os.path.join(out_dir, "media", f"part-{lo:08d}.parquet"))
         pq.write_table(gt, os.path.join(out_dir, "media_gt", f"part-{lo:08d}.parquet"))
+        pq.write_table(expected, os.path.join(out_dir, "expected", f"part-{lo:08d}.parquet"))
 
-    refs = [
-        _shard.remote(lo, min(lo + shard_size, n_docs))
-        for lo in range(0, n_docs, shard_size)
-    ]
-    ray.get(refs)
+    spans = [(lo, min(lo + shard_size, n_docs)) for lo in range(0, n_docs, shard_size)]
+    if ray.is_initialized():
+        shard_task = ray.remote(_write)
+        ray.get([shard_task.remote(lo, hi) for lo, hi in spans])
+    else:
+        # serial fallback (same sharded layout) so oracle-side callers can
+        # materialize the corpus without owning a Ray session
+        for lo, hi in spans:
+            _write(lo, hi)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

@@ -27,6 +27,17 @@ def golden(small_corpus):
     return _canon(_golden(small_corpus).to_pandas())
 
 
+def test_oracle_matches_generator_ground_truth(small_corpus, golden):
+    """The engine-side oracle must equal the generator's GROUND-TRUTH span
+    table (expected.parquet) — the independent truth the driver's SQL
+    oracle reads.  Any engine misread (e.g. the 'ee' intra-glyph band-split
+    regression) breaks this, not just the Ray-vs-oracle equality."""
+    expected = _canon(
+        pq.read_table(os.path.join(small_corpus, "expected.parquet")).to_pandas()
+    )
+    pd.testing.assert_frame_equal(expected, golden)
+
+
 def test_fused_pipeline_matches_oracle(ray_session, small_corpus, golden):
     from pytorchocr_ray.pipelines.extract import extract_dataset
 
