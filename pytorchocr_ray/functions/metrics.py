@@ -116,6 +116,28 @@ def det_counters(
     return len(care_gt), len(care_det), matched
 
 
+def det_match_pairs(
+    gt_polys: list[np.ndarray],
+    det_polys: list[np.ndarray],
+    iou_thresh: float = 0.5,
+) -> list[tuple[int, int]]:
+    """Greedy 1-1 (gt_idx, det_idx) matching at IoU > threshold — the same
+    pairing rule det_counters applies, exposed so rec accuracy can score
+    PREDICTION-TO-GT pairs by geometry instead of list position (a missed
+    or reordered detection must not misalign every later pair)."""
+    pairs: list[tuple[int, int]] = []
+    used: set[int] = set()
+    for gi, g in enumerate(gt_polys):
+        for di, d in enumerate(det_polys):
+            if di in used:
+                continue
+            if polygon_iou(g, d) > iou_thresh:
+                pairs.append((gi, di))
+                used.add(di)
+                break
+    return pairs
+
+
 def combine_det_counters(counters) -> dict[str, float]:
     """Final aggregate: sum the triples, compute precision/recall/hmean."""
     gt = sum(c[0] for c in counters)

@@ -39,6 +39,8 @@ def dedup_exact(sf_dir: str):
     Shuffle carries only (hash, doc_id, n_chars); the text itself never
     moves. 64-bit collisions are accepted (documented; ~1e-13 at 1e6 docs).
     """
+    from ray.data.aggregate import Min
+
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def hash_stage(batch: pa.Table) -> pa.Table:
@@ -51,13 +53,12 @@ def dedup_exact(sf_dir: str):
             }
         )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, "doc_id")
-
+    # pure Min aggregate (no per-group Python call): rows sharing a hash
+    # share the text, hence n_chars — Min picks the kept row's value
     out = (
         ds.map_batches(hash_stage, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Min("n_chars", alias_name="n_chars"))
     )
     return out.select_columns(["doc_id", "n_chars"])
 

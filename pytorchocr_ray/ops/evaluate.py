@@ -16,6 +16,7 @@ from ..functions.metrics import (
     combine_det_counters,
     combine_rec_counters,
     det_counters,
+    det_match_pairs,
     rec_counters,
 )
 from ..functions.ocr import OcrEngine
@@ -64,11 +65,16 @@ class _EvalStage:
             ]
             det_polys = [b.astype(np.float64) for b, _t, _p in results]
             g, d, m = det_counters(gt_polys, [False] * len(gt_polys), det_polys)
+            # rec accuracy over IoU-MATCHED (gt, det) pairs — positional
+            # zip() silently mis-scores every pair after a missed/extra/
+            # reordered detection; unmatched GT counts as a rec failure
             ex = sim = n = 0.0
-            for (gt_poly, gt_text), (_b, text, _prob) in zip(
-                [(r["box"], r["text"]) for r in gt_regions], results
-            ):
-                e, s, c = rec_counters(text, gt_text)
+            match = dict(det_match_pairs(gt_polys, det_polys))
+            for gi, r in enumerate(gt_regions):
+                if gi in match:
+                    e, s, c = rec_counters(results[match[gi]][1], r["text"])
+                else:
+                    e, s, c = 0, 0.0, 1
                 ex += e
                 sim += s
                 n += c

@@ -280,20 +280,48 @@ FROM events GROUP BY 1, 2
 
 
 def user_activity(sf_dir: str):
-    """Per-user activity profile incl. a distinct count (exact, per-group)."""
+    """Per-user activity profile incl. an exact distinct count.
+
+    Round 2: pure aggregate shape — per-batch partial aggregation of
+    (user_id, event_type) pairs, a small groupby-sum on that composite
+    key, then a per-user roll-up where the distinct count is a plain row
+    count.  Replaces the round-1 per-user ``map_groups`` that paid a
+    Python call per user (the tiny-group overhead VERDICT r1 flagged on
+    this high-cardinality key)."""
+    from ray.data.aggregate import Count, Sum
+
     ds = read(sf_dir, "events", columns=["user_id", "event_type", "value"])
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_type = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    per_user = per_type.groupby("user_id").aggregate(
+        Sum("n", alias_name="n_events"),
+        Count(alias_name="n_types"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_events": [np.int64(len(group))],
-                "n_types": [np.int64(group["event_type"].nunique())],
-                "sum_value": [round(float(group["value"].sum()), 2)],
+                "user_id": batch["user_id"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "n_types": pc.cast(batch["n_types"], pa.int64()),
+                "sum_value": _round2(batch["sum_value"]),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_group, batch_format="pandas")
+    return per_user.map_batches(finish, batch_format="pyarrow")
 
 
 USER_ACTIVITY_SQL = """

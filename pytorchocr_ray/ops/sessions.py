@@ -102,7 +102,7 @@ WITH m AS (
   SELECT user_id, ts, event_type,
          max(CASE WHEN event_type = 'view' THEN ts END)
              OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS last_view
+                   RANGE UNBOUNDED PRECEDING) AS last_view
   FROM events)
 SELECT user_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,

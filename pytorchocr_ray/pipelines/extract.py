@@ -160,7 +160,10 @@ def extract_dataset(
         # raw post-OCR rows (full OCR_OUT_SCHEMA incl box/prob), no
         # projection, no reassembly — the regions-table building block
         return ds
-    ds = ds.select_columns(["doc_id", "offset", "region_idx", "kind", "text", "media_ref"])
+    ds = ds.select_columns(
+        ["doc_id", "offset", "region_idx", "kind", "text", "media_ref",
+         "span_idx", "n_spans"]
+    )
     if reassemble == "local":
         # zero-shuffle: documents are block-contiguous by construction
         # (one input row per doc + order-preserving map stages); see
@@ -180,7 +183,10 @@ def extract_regions(docs_path: str, media_path: str | None = None, **kw):
     kw["reassemble"] = "none"
     ds = extract_dataset(docs_path, media_path, **kw)
     return ds.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")),
+        # exclude dropped-media tombstones (region_idx < 0) as well
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["kind"], "media"), pc.greater_equal(t["region_idx"], 0))
+        ),
         batch_format="pyarrow",
     ).select_columns(["doc_id", "offset", "region_idx", "media_ref", "box", "prob", "text"])
 

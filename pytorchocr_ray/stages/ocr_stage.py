@@ -43,8 +43,15 @@ OCR_OUT_SCHEMA = pa.schema(
         ("media_ref", pa.string()),
         ("prob", pa.float32()),
         ("box", pa.list_(pa.int16())),
+        ("span_idx", pa.int32()),
+        ("n_spans", pa.int32()),
     ]
 )
+
+# a dropped media span (undecodable / missing payload) emits ONE tombstone
+# row with this region_idx so the doc's span lineage stays complete for the
+# reassembly guard; reassembly filters tombstones after the check
+TOMBSTONE_REGION = -1
 
 
 def _get(maybe_ref):
@@ -122,8 +129,11 @@ class _Collector:
         self.media_ref: list[str] = []
         self.prob: list[float | None] = []
         self.box: list[list[int] | None] = []
+        self.span_idx: list[int] = []
+        self.n_spans: list[int] = []
 
-    def add(self, doc_id, offset, region_idx, kind, text, media_ref, prob, box):
+    def add(self, doc_id, offset, region_idx, kind, text, media_ref, prob, box,
+            span_idx=0, n_spans=0):
         self.doc_id.append(doc_id)
         self.offset.append(offset)
         self.region_idx.append(region_idx)
@@ -132,6 +142,8 @@ class _Collector:
         self.media_ref.append(media_ref)
         self.prob.append(prob)
         self.box.append(box)
+        self.span_idx.append(span_idx)
+        self.n_spans.append(n_spans)
 
     def table(self) -> pa.Table:
         return pa.table(
@@ -144,6 +156,8 @@ class _Collector:
                 "media_ref": pa.array(self.media_ref, pa.string()),
                 "prob": pa.array(self.prob, pa.float32()),
                 "box": pa.array(self.box, pa.list_(pa.int16())),
+                "span_idx": pa.array(self.span_idx, pa.int32()),
+                "n_spans": pa.array(self.n_spans, pa.int32()),
             },
             schema=OCR_OUT_SCHEMA,
         )
@@ -165,18 +179,27 @@ class OcrStage:
         texts = batch["text"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         offsets = batch["offset"].to_pylist()
+        has_lineage = "span_idx" in batch.column_names
+        sidx = batch["span_idx"].to_pylist() if has_lineage else [0] * len(kinds)
+        nsp = batch["n_spans"].to_pylist() if has_lineage else [0] * len(kinds)
         # media_mode="join" delivers payloads inline as a "data" column
         inline = (
             batch["data"].to_pylist() if "data" in batch.column_names else None
         )
         for i, kind in enumerate(kinds):
             if kind != "media":
-                out.add(doc_ids[i], offsets[i], 0, kind, texts[i], "", None, None)
+                out.add(doc_ids[i], offsets[i], 0, kind, texts[i], "", None, None,
+                        sidx[i], nsp[i])
                 continue
             data = inline[i] if inline is not None else self.lookup(refs[i])
             gray = decode_gray(data) if data is not None else None
             if gray is None:
-                continue  # DecodeImage contract: undecodable -> drop row
+                # DecodeImage contract: undecodable -> drop; a tombstone row
+                # keeps the doc's span lineage complete for the reassembly
+                # guard (filtered out after the check)
+                out.add(doc_ids[i], offsets[i], TOMBSTONE_REGION, "media", "",
+                        refs[i], None, None, sidx[i], nsp[i])
+                continue
             for ridx, (box, text, prob) in enumerate(self.engine.ocr_image(gray)):
                 out.add(
                     doc_ids[i],
@@ -187,6 +210,8 @@ class OcrStage:
                     refs[i],
                     prob,
                     box.reshape(-1).tolist(),
+                    sidx[i],
+                    nsp[i],
                 )
         return out.table()
 
@@ -214,9 +239,13 @@ class DetStage:
             "crop": [],
             "crop_h": [],
             "crop_w": [],
+            "span_idx": [],
+            "n_spans": [],
         }
 
-        def add(doc, off, ridx, kind, text, ref, box, crop):
+        def add(doc, off, ridx, kind, text, ref, box, crop, si=0, ns=0):
+            rows["span_idx"].append(si)
+            rows["n_spans"].append(ns)
             rows["doc_id"].append(doc)
             rows["offset"].append(off)
             rows["region_idx"].append(ridx)
@@ -238,22 +267,28 @@ class DetStage:
         offs = batch["offset"].to_pylist()
         texts = batch["text"].to_pylist()
         refs = batch["media_ref"].to_pylist()
+        has_lineage = "span_idx" in batch.column_names
+        sidx = batch["span_idx"].to_pylist() if has_lineage else [0] * len(kinds)
+        nsp = batch["n_spans"].to_pylist() if has_lineage else [0] * len(kinds)
         for i, kind in enumerate(kinds):
             doc = docs[i]
             off = offs[i]
             if kind != "media":
-                add(doc, off, 0, kind, texts[i], "", None, None)
+                add(doc, off, 0, kind, texts[i], "", None, None, sidx[i], nsp[i])
                 continue
             ref = refs[i]
             data = self.lookup(ref)
             gray = decode_gray(data) if data is not None else None
             if gray is None:
+                add(doc, off, TOMBSTONE_REGION, "media", "", ref, None, None,
+                    sidx[i], nsp[i])
                 continue
             from ..functions.geometry import get_part_img, maybe_rot90
 
             for ridx, box in enumerate(self.engine.detect(gray)):
                 crop = maybe_rot90(get_part_img(gray, box.astype(np.float64)))
-                add(doc, off, ridx, "media", "", ref, box.reshape(-1).tolist(), crop)
+                add(doc, off, ridx, "media", "", ref, box.reshape(-1).tolist(), crop,
+                    sidx[i], nsp[i])
 
         return pa.table(
             {
@@ -267,6 +302,8 @@ class DetStage:
                 "crop": pa.array(rows["crop"], pa.binary()),
                 "crop_h": pa.array(rows["crop_h"], pa.int32()),
                 "crop_w": pa.array(rows["crop_w"], pa.int32()),
+                "span_idx": pa.array(rows["span_idx"], pa.int32()),
+                "n_spans": pa.array(rows["n_spans"], pa.int32()),
             }
         )
 
@@ -290,9 +327,17 @@ class RecStage:
         crops = batch["crop"].to_pylist()
         hs = batch["crop_h"].to_pylist()
         ws = batch["crop_w"].to_pylist()
+        has_lineage = "span_idx" in batch.column_names
+        sidx = batch["span_idx"].to_pylist() if has_lineage else [0] * len(kinds)
+        nsp = batch["n_spans"].to_pylist() if has_lineage else [0] * len(kinds)
         for i, kind in enumerate(kinds):
             if kind != "media":
-                out.add(docs[i], offs[i], 0, kind, texts[i], "", None, None)
+                out.add(docs[i], offs[i], 0, kind, texts[i], "", None, None,
+                        sidx[i], nsp[i])
+                continue
+            if ridxs[i] == TOMBSTONE_REGION:
+                out.add(docs[i], offs[i], TOMBSTONE_REGION, "media", "", refs[i],
+                        None, None, sidx[i], nsp[i])
                 continue
             crop = np.frombuffer(crops[i], dtype=np.uint8).reshape(hs[i], ws[i])
             if self.engine.cfg.use_cls:
@@ -301,6 +346,7 @@ class RecStage:
                     crop = np.ascontiguousarray(crop[::-1, ::-1])
             text, prob = ctc_greedy_decode(self.engine.rec(crop))
             out.add(
-                docs[i], offs[i], ridxs[i], "media", text, refs[i], prob, boxes[i]
+                docs[i], offs[i], ridxs[i], "media", text, refs[i], prob, boxes[i],
+                sidx[i], nsp[i]
             )
         return out.table()

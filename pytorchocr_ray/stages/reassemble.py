@@ -26,8 +26,35 @@ import pyarrow.compute as pc
 
 def reassemble_block(batch: pa.Table) -> pa.Table:
     """Block-local reassembly (requires doc-contiguous blocks, see module
-    docstring). Vectorized: one stable sort + factorized cumcount."""
+    docstring). Vectorized: one stable sort + factorized cumcount.
+
+    Runtime guard (span lineage): every doc in the block must carry its
+    complete span-index set {0..n_spans-1} — dropped media spans stay
+    visible as tombstone rows, so an incomplete set can only mean the
+    engine split the doc across blocks (dynamic block splitting) and the
+    zero-shuffle plan's assumption is violated; raise with a clear
+    remediation instead of silently emitting duplicate ``order`` values.
+    """
     df = batch.to_pandas()
+    if "span_idx" in df.columns and len(df):
+        per_doc = df.groupby("doc_id", sort=False)["span_idx"].agg(
+            ["nunique", "max"]
+        )
+        n_spans = df.groupby("doc_id", sort=False)["n_spans"].first()
+        bad = per_doc[
+            (per_doc["nunique"] != n_spans)
+            | (per_doc["max"] != n_spans - 1)
+        ]
+        if len(bad):
+            raise RuntimeError(
+                "reassemble='local' block is missing span rows for doc(s) "
+                f"{list(bad.index[:5])} — the input block was split "
+                "mid-document (doc-contiguity assumption violated); rerun "
+                "with reassemble='shuffle'"
+            )
+    # drop tombstones (dropped-media lineage rows) after the check
+    if "region_idx" in df.columns:
+        df = df[df["region_idx"] >= 0]
     df = df.sort_values(
         ["doc_id", "offset", "region_idx"], kind="stable", ignore_index=True
     )
@@ -44,6 +71,8 @@ def reassemble_block(batch: pa.Table) -> pa.Table:
 
 
 def reassemble_group(group: pa.Table) -> pa.Table:
+    if "region_idx" in group.column_names:
+        group = group.filter(pc.greater_equal(group["region_idx"], 0))
     idx = pc.sort_indices(
         group,
         sort_keys=[("offset", "ascending"), ("region_idx", "ascending")],

@@ -16,13 +16,26 @@ from ..functions.text_norm import normalize_column
 
 
 def explode_spans(batch: pa.Table) -> pa.Table:
-    """documents(doc_id, spans) -> flat rows (doc_id, kind, text, media_ref, offset)."""
+    """documents(doc_id, spans) -> flat rows (doc_id, kind, text, media_ref,
+    offset, span_idx, n_spans).
+
+    ``span_idx`` (position within the doc) and ``n_spans`` (doc's span
+    count) are the per-doc lineage the block-local reassembly guard checks:
+    a block whose doc is missing span indices was split mid-document by the
+    engine (dynamic block splitting) and must use the shuffle plan instead.
+    """
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     flat = pc.list_flatten(spans)
     parent = pc.list_parent_indices(spans)
     doc_id = pc.take(batch["doc_id"], parent)
+    lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int32)
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    span_idx = np.arange(total, dtype=np.int32) - np.repeat(starts, lens).astype(
+        np.int32
+    )
     return pa.table(
         {
             "doc_id": doc_id,
@@ -30,6 +43,8 @@ def explode_spans(batch: pa.Table) -> pa.Table:
             "text": pc.struct_field(flat, "text"),
             "media_ref": pc.struct_field(flat, "media_ref"),
             "offset": pc.struct_field(flat, "offset"),
+            "span_idx": pa.array(span_idx),
+            "n_spans": pa.array(np.repeat(lens, lens).astype(np.int32)),
         }
     )
 

@@ -27,6 +27,33 @@ def golden(small_corpus):
     return _canon(_golden(small_corpus).to_pandas())
 
 
+def test_reassemble_guard_detects_split_doc():
+    """A block missing some of a doc's span rows (mid-document block split)
+    must raise; tombstoned (dropped-media) spans must NOT trip the guard."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from pytorchocr_ray.stages.reassemble import reassemble_block
+
+    def block(rows):
+        cols = ["doc_id", "offset", "region_idx", "kind", "text", "media_ref",
+                "span_idx", "n_spans"]
+        return pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+
+    complete = block([
+        ("d1", 1, 0, "text", "a", "", 0, 2),
+        ("d1", 2, -1, "media", "", "m0", 1, 2),  # dropped media tombstone
+    ])
+    out = reassemble_block(complete).to_pandas()
+    assert list(out["text"]) == ["a"]  # tombstone filtered, order intact
+
+    split = block([
+        ("d1", 1, 0, "text", "a", "", 0, 2),  # span 1 of 2 landed elsewhere
+    ])
+    with _pytest.raises(RuntimeError, match="split"):
+        reassemble_block(split)
+
+
 def test_oracle_matches_generator_ground_truth(small_corpus, golden):
     """The engine-side oracle must equal the generator's GROUND-TRUTH span
     table (expected.parquet) — the independent truth the driver's SQL
