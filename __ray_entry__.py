@@ -111,6 +111,22 @@ def _asof_sql() -> str:
     return ASOF_LAST_VIEW_SQL
 
 
+def _pubtab_fixture(sf_dir: str) -> str:
+    import os
+
+    from pytorchocr_ray.synth.pubtab import pubtab_path, synth_pubtab
+
+    n = min(300, _n_rows(sf_dir))
+    return os.path.join(synth_pubtab(pubtab_path(n), n=n), "table_labels.jsonl")
+
+
+def _table_structure(sf_dir: str) -> Any:
+    from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.pipelines.table import table_structure_ds
+
+    return table_structure_ds(_pubtab_fixture(sf_dir), concurrency=pool_size(4))
+
+
 def _evaluate_engine(sf_dir: str) -> Any:
     import pandas as pd
 
@@ -124,7 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
 
     return {
-        # flagship extraction (non-SQL: model inference) — rows-only check
+        # flagship extraction — hash-verified against the generator's
+        # ground-truth span table (see oracle_sql)
         "extract_interleaved": _extract,
         "extract_split_plan": lambda sf: _extract(sf, fused=False),
         # text analysis
@@ -146,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _video_frames,
         # engine evaluation (det IoU + rec accuracy, partial+final agg)
         "evaluate_engine": _evaluate_engine,
+        # table branch: pubtab JSONL -> structure decode + bbox denorm
+        "table_structure": _table_structure,
         # relational coverage
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
@@ -176,9 +195,20 @@ def oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{corpus}/expected/*.parquet')"
     )
 
+    import os
+
+    pubtab_expected = os.path.join(
+        os.path.dirname(_pubtab_fixture("/root/testdata/sf0.01")),
+        "expected.parquet",
+    )
+
     return {
         "extract_interleaved": extract_sql,
         "extract_split_plan": extract_sql,
+        "table_structure": (
+            "SELECT filename, structure, n_cells, bbox_sum "
+            f"FROM read_parquet('{pubtab_expected}')"
+        ),
         "normalize_docs": textstats.NORMALIZE_DOCS_SQL,
         "fingerprint": textstats.fingerprint_sql(),
         "doc_stats": textstats.DOC_STATS_SQL,

@@ -105,13 +105,18 @@ def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return val.astype(img.dtype)
 
 
-def connected_components(mask: np.ndarray) -> list[np.ndarray]:
+def connected_components(
+    mask: np.ndarray, with_runs: bool = False
+) -> list[np.ndarray] | list[tuple[np.ndarray, np.ndarray]]:
     """8-connected components of a boolean mask via run-based union-find.
 
     Returns one (N, 2) float64 array of (x, y) *run-endpoint* points per
     component (leftmost + rightmost pixel of every row-run — the component's
     convex hull support set, all min_area_rect needs), ordered by the
-    component's first (row, col) appearance.
+    component's first (row, col) appearance.  With ``with_runs`` each entry
+    is ``(points, runs)`` where runs is (R, 3) int32 rows ``(y, start,
+    end_exclusive)`` — the exact pixel support score_mode='poly' averages
+    over.
     """
     h, w = mask.shape
     parent: list[int] = []
@@ -170,15 +175,24 @@ def connected_components(mask: np.ndarray) -> list[np.ndarray]:
 
     # gather run-endpoint points per root, keep discovery (row, col) order
     comp_points: dict[int, list[tuple[float, float]]] = {}
+    comp_runs: dict[int, list[tuple[int, int, int]]] = {}
     comp_order: list[int] = []
     for y in range(h):
         for s, e, rid in runs_by_row[y]:
             root = find(rid)
             if root not in comp_points:
                 comp_points[root] = []
+                comp_runs[root] = []
                 comp_order.append(root)
             comp_points[root].append((float(s), float(y)))
             comp_points[root].append((float(e - 1), float(y)))
+            if with_runs:
+                comp_runs[root].append((y, s, e))
+    if with_runs:
+        return [
+            (np.array(comp_points[r]), np.array(comp_runs[r], dtype=np.int32))
+            for r in comp_order
+        ]
     return [np.array(comp_points[r]) for r in comp_order]
 
 
@@ -223,6 +237,34 @@ def _box_score(prob_map: np.ndarray, box: np.ndarray, activate=None) -> float:
     return float(region[inside].mean())
 
 
+def _poly_score(prob_map: np.ndarray, runs: np.ndarray, activate=None) -> float:
+    """Mean probability over the component's exact pixel support
+    (score_mode='poly').  The reference fills the outer contour polygon
+    (db_postprocess.py:109-111,178-194); the run set is this engine's
+    contour-interior analog — documented deviation: interior holes are not
+    filled (no effect on the solid glyph-band components DB produces)."""
+    total = 0.0
+    n = 0
+    for y, s, e in runs:
+        seg = prob_map[y, s:e]
+        if activate is not None:
+            seg = activate(seg)
+        total += float(seg.sum())
+        n += e - s
+    return total / n if n else 0.0
+
+
+def dilate_mask(mask: np.ndarray) -> np.ndarray:
+    """cv2.dilate with the reference's 2x2 all-ones kernel
+    (db_postprocess.py:34-35,52-55): anchor at (1,1), so each set pixel
+    spreads one step right, down, and down-right."""
+    out = mask.copy()
+    out[1:, :] |= mask[:-1, :]
+    out[:, 1:] |= mask[:, :-1]
+    out[1:, 1:] |= mask[:-1, :-1]
+    return out
+
+
 def boxes_from_bitmap(
     prob_map: np.ndarray,
     src_h: int,
@@ -233,6 +275,8 @@ def boxes_from_bitmap(
     unclip_ratio: float = 1.5,
     min_size: int = 3,
     pre_activation=None,
+    use_dilation: bool = False,
+    score_mode: str = "box",
 ) -> tuple[np.ndarray, list[float]]:
     """prob map -> (boxes (K,4,2) int16 in source coords, scores).
 
@@ -240,7 +284,13 @@ def boxes_from_bitmap(
     PRE-activation values; binarize at the equivalent smooth-domain
     threshold and activate only inside candidate boxes for scoring —
     numerically identical, skips the full-image sigmoid.
+    ``use_dilation`` / ``score_mode`` mirror the reference's DBPostProcess
+    options (db_postprocess.py:19-20,34-35,109-111).
     """
+    if score_mode not in ("box", "poly"):
+        raise ValueError(
+            f"score_mode must be 'box' or 'poly', got {score_mode!r}"
+        )
     height, width = prob_map.shape
     if pre_activation is not None:
         activate, smooth_thresh = pre_activation
@@ -248,10 +298,14 @@ def boxes_from_bitmap(
     else:
         activate = None
         mask = prob_map > thresh
-    comps = connected_components(mask)[:max_candidates]
+    if use_dilation:
+        mask = dilate_mask(mask)
+    want_runs = score_mode == "poly"
+    comps = connected_components(mask, with_runs=want_runs)[:max_candidates]
     boxes: list[np.ndarray] = []
     scores: list[float] = []
-    for pts in comps:
+    for comp in comps:
+        pts, runs = comp if want_runs else (comp, None)
         box, sside = get_mini_boxes(pts)
         if sside < min_size:
             continue
@@ -274,7 +328,10 @@ def boxes_from_bitmap(
             if sside < min_size:
                 continue
         # Ensure clockwise orientation for the score / unclip helpers.
-        score = _box_score(prob_map, _clockwise(box), activate)
+        if score_mode == "poly":
+            score = _poly_score(prob_map, runs, activate)
+        else:
+            score = _box_score(prob_map, _clockwise(box), activate)
         if score < box_thresh:
             continue
         if snapped:

@@ -31,6 +31,11 @@ class OcrConfig:
     limit_type: str = "max"
     use_cls: bool = True
     det_postprocess: str = "db"  # "db" | "pse" | "pan" (post-process family)
+    # DBPostProcess option parity (ref db_postprocess.py:19-20); engine
+    # default score_mode is "box" (the reference class defaults to "poly"
+    # but its shipped det configs score boxes) — both paths are exact here
+    use_dilation: bool = False
+    score_mode: str = "box"  # "box" | "poly"
 
 
 class OcrEngine:
@@ -94,6 +99,8 @@ class OcrEngine:
                     self.det.activate,
                     self.det.smooth_threshold(self.cfg.thresh),
                 ),
+                use_dilation=self.cfg.use_dilation,
+                score_mode=self.cfg.score_mode,
             )
         return sort_boxes(boxes)
 

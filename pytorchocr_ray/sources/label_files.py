@@ -123,6 +123,7 @@ def read_pubtab_jsonl(paths):
 
     def parse(batch: pa.Table) -> pa.Table:
         img_paths, tokens, n_cells = [], [], []
+        bboxes, imghs, imgws = [], [], []
         for line in batch["text"].to_pylist():
             try:
                 obj = json.loads(line)
@@ -130,16 +131,29 @@ def read_pubtab_jsonl(paths):
                 html = obj["html"]
                 toks = [str(t) for t in html["structure"]["tokens"]]
                 cells = html.get("cells", [])
-            except (KeyError, TypeError, json.JSONDecodeError):
+                flat: list[int] = []
+                for c in cells:
+                    bb = c.get("bbox") if isinstance(c, dict) else None
+                    if bb is not None:
+                        flat.extend(int(v) for v in bb)
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError):
                 continue
             img_paths.append(path)
             tokens.append(toks)
             n_cells.append(len(cells))
+            bboxes.append(flat)
+            # image dims when the label line carries them (synthetic fixtures
+            # do; PubTabNet proper reads them from the image file)
+            imghs.append(int(obj.get("imgh", 0)))
+            imgws.append(int(obj.get("imgw", 0)))
         return pa.table(
             {
                 "img_path": pa.array(img_paths, pa.string()),
                 "structure_tokens": pa.array(tokens, pa.list_(pa.string())),
                 "n_cells": pa.array(n_cells, pa.int32()),
+                "cell_bboxes": pa.array(bboxes, pa.list_(pa.int32())),
+                "imgh": pa.array(imghs, pa.int32()),
+                "imgw": pa.array(imgws, pa.int32()),
             }
         )
 

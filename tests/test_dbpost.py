@@ -77,3 +77,56 @@ def test_det_resize_rounds_to_32():
     img2 = np.zeros((1000, 2000), dtype=np.uint8)
     out2, _ = det_resize(img2, limit_side_len=736, limit_type="max")
     assert max(out2.shape) <= 736 + 31
+
+
+# ---------------------------------------------------- round-2 option parity
+
+def test_dilate_mask_spreads_down_right():
+    from pytorchocr_ray.functions.dbpost import dilate_mask
+
+    m = np.zeros((4, 4), dtype=bool)
+    m[1, 1] = True
+    d = dilate_mask(m)
+    assert d[1, 1] and d[1, 2] and d[2, 1] and d[2, 2]
+    assert not d[0, 0] and not d[0, 1] and not d[1, 0]
+
+
+def test_use_dilation_bridges_one_pixel_gap():
+    from pytorchocr_ray.functions.dbpost import boxes_from_bitmap
+
+    prob = np.zeros((20, 24), dtype=np.float64)
+    # two 4x6 blobs separated by ONE empty column (8-conn keeps them apart)
+    prob[8:12, 4:10] = 0.9
+    prob[8:12, 11:17] = 0.9
+    plain, _ = boxes_from_bitmap(prob, 20, 24, min_size=2)
+    dil, _ = boxes_from_bitmap(prob, 20, 24, min_size=2, use_dilation=True)
+    assert len(plain) == 2
+    assert len(dil) == 1
+
+
+def test_score_mode_poly_diverges_from_box_on_diagonal():
+    from pytorchocr_ray.functions.dbpost import boxes_from_bitmap
+
+    # a thick diagonal staircase: its (tilted) min-area rect fill includes
+    # a large zero-probability margin, the pixel support does not
+    prob = np.zeros((40, 40), dtype=np.float64)
+    for i in range(8):
+        prob[3 * i : 3 * i + 6, 3 * i : 3 * i + 6] = 0.95
+    box_boxes, box_scores = boxes_from_bitmap(
+        prob, 40, 40, box_thresh=0.8, score_mode="box"
+    )
+    poly_boxes, poly_scores = boxes_from_bitmap(
+        prob, 40, 40, box_thresh=0.8, score_mode="poly"
+    )
+    assert len(box_boxes) == 0  # rect fill dilutes the score below 0.8
+    assert len(poly_boxes) == 1  # exact pixel support keeps 0.95
+    assert poly_scores[0] > 0.9
+
+
+def test_score_mode_validation():
+    import pytest as _pytest
+
+    from pytorchocr_ray.functions.dbpost import boxes_from_bitmap
+
+    with _pytest.raises(ValueError, match="score_mode"):
+        boxes_from_bitmap(np.zeros((5, 5)), 5, 5, score_mode="contour")
