@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": dedup.minhash_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # similarity search
         "simsearch_topk": simsearch.topk_bruteforce,
         "simsearch_ivf": simsearch.topk_ivf,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": dedup.minhash_pairs_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),
         "embedding_neardup": dedup.embedding_neardup_sql(),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simsearch_topk": simsearch.topk_bruteforce_sql(),
         "simsearch_ivf": simsearch.topk_ivf_sql(),
         "q1_pricing": relational.Q1_SQL,

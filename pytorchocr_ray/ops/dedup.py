@@ -263,13 +263,21 @@ def minhash_pairs(
         .select_columns(["doc_a", "doc_b"])
     )
 
-    shl = sig_ds.select_columns(["doc_id", "shl"])
+    return _verify_jaccard(cands, sig_ds.select_columns(["doc_id", "shl"]), threshold)
+
+
+def _verify_jaccard(cands, shl_ds, threshold: float):
+    """Co-partitioned true-Jaccard verify: candidate (doc_a, doc_b) keys
+    hash-join the per-doc shingle-hash sets (binary blobs), then a
+    vectorized per-pair sorted-intersect.  Shared by minhash_pairs and
+    ngram_jaccard_pairs."""
+
     nparts = max(2, pool_size())
     joined = cands.join(
-        shl, "inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
+        shl_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
     ).rename_columns({"shl": "shl_a"})
     joined = joined.join(
-        shl, "inner", num_partitions=nparts, on=("doc_b",), right_on=("doc_id",)
+        shl_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("doc_id",)
     ).rename_columns({"shl": "shl_b"})
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -297,6 +305,150 @@ def minhash_pairs(
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+class ShingleSetStage:
+    """documents -> (doc_id, shl binary blob of sorted distinct shingle
+    hashes); tokenless docs dropped (same contract as MinHasher)."""
+
+    def __init__(self, ngram: int = 3):
+        self.ngram = ngram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .hashing import poly_hash_strings
+
+        texts = batch["text"].to_pylist()
+        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        out_ids, out_shl = [], []
+        all_sh: list[str] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = _token_ngrams(t, self.ngram)
+            all_sh.extend(sh)
+            lens[i] = len(sh)
+        hs = poly_hash_strings(all_sh)
+        pos = 0
+        for i, l in enumerate(lens):
+            if l:
+                out_ids.append(int(doc_ids[i]))
+                out_shl.append(np.unique(hs[pos : pos + l]).astype(np.int64).tobytes())
+            pos += l
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "shl": pa.array(out_shl, pa.binary()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, ngram: int = 3, threshold: float = 0.3, max_df: int = 4
+):
+    """Near-duplicate pairs via a document-frequency-capped INVERTED INDEX
+    on shingle hashes (the exact-candidate complement to minhash's LSH):
+    every pair sharing at least one RARE shingle (df in [2, max_df]) is a
+    candidate, verified by true Jaccard over distinct shingle hashes.
+
+    Scale shape: explode (shingle, doc) postings -> salted groupby -> per
+    shingle emit pairs ONLY when its df <= max_df (hot boilerplate
+    shingles are skipped — they cannot identify near-dups and would blow
+    up quadratically) -> distinct -> co-partitioned verify join.  The
+    shuffle carries (hash, doc_id) postings only.
+    """
+    from ray.data.aggregate import Count
+
+    salt_bits = 6
+    shl_ds = read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        ShingleSetStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"ngram": ngram},
+        concurrency=pool_size(),
+    ).materialize()  # consumed by postings + verify joins (see minhash note)
+
+    def explode_postings(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_h, out_d = [], []
+        for d, blob in zip(ids, batch["shl"].to_pylist()):
+            hs = np.frombuffer(blob, dtype=np.int64)
+            out_h.append(hs)
+            out_d.append(np.full(len(hs), d, dtype=np.int64))
+        h = np.concatenate(out_h) if out_h else np.zeros(0, np.int64)
+        d = np.concatenate(out_d) if out_d else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "doc_id": pa.array(d),
+                "salt": pa.array((h & ((1 << salt_bits) - 1)).astype(np.int32)),
+            }
+        )
+
+    def rare_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        counts = group["h"].value_counts()
+        rare = counts[(counts >= 2) & (counts <= max_df)].index
+        if len(rare):
+            sub = group[group["h"].isin(rare)]
+            for _h, posting in sub.groupby("h", sort=False):
+                ids = np.sort(posting["doc_id"].to_numpy())
+                ii, jj = np.triu_indices(len(ids), 1)
+                a_out.append(ids[ii])
+                b_out.append(ids[jj])
+        if not a_out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+        )
+
+    cands = (
+        shl_ds.map_batches(explode_postings, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(rare_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    return _verify_jaccard(cands, shl_ds, threshold)
+
+
+def ngram_jaccard_pairs_sql(
+    ngram: int = 3, threshold: float = 0.3, max_df: int = 4
+) -> str:
+    """DuckDB twin of ngram_jaccard_pairs: same shingles/hash, same
+    df-capped inverted index, same Jaccard verify.
+
+    NOTE: the df cap must count df over the WHOLE corpus — identical in
+    both systems because the engine's groupby('salt') sees every posting
+    of a given shingle hash in one group."""
+    from .hashing import sql_char_hash
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(ngram)} AS shingles FROM documents),
+shh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> {sql_char_hash('s')})) AS hl
+  FROM sh WHERE len(shingles) > 0),
+post AS (SELECT doc_id, unnest(hl) AS h FROM shh),
+rare AS (SELECT h FROM post GROUP BY h
+         HAVING count(*) BETWEEN 2 AND {max_df}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM post a JOIN rare USING (h) JOIN post b USING (h)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(floor(100.0 * inter / uni + 0.5) AS BIGINT) AS jaccard_pct
+FROM (SELECT c.doc_a, c.doc_b,
+             len(list_intersect(p.hl, q.hl)) AS inter,
+             len(p.hl) + len(q.hl) - len(list_intersect(p.hl, q.hl)) AS uni
+      FROM cand c
+      JOIN shh p ON p.doc_id = c.doc_a
+      JOIN shh q ON q.doc_id = c.doc_b)
+WHERE CAST(inter AS DOUBLE) / uni >= {threshold}
+"""
 
 
 def _sql_shingles(ngram: int = 3) -> str:

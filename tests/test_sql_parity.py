@@ -135,3 +135,16 @@ def test_topk_ivf_parity(ray_session, parity_dir, con):
         con.sql(topk_ivf_sql(k=3, nq=4, n_centroids=8, nprobe=3)).df(),
         ["query_id", "rank"],
     )
+
+
+def test_ngram_jaccard_pairs_parity(ray_session, parity_dir, con):
+    from pytorchocr_ray.ops.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_sql,
+    )
+
+    e = ngram_jaccard_pairs(parity_dir).to_pandas()
+    found = set(zip(e["doc_a"], e["doc_b"]))
+    for i in range(4):
+        assert (i, 30 + i) in found  # planted near-dups share rare shingles
+    _match(e, con.sql(ngram_jaccard_pairs_sql()).df(), ["doc_a", "doc_b"])
