@@ -80,6 +80,29 @@ def det_resize_long(
     return out, (src_h, src_w, rh / src_h, rw / src_w)
 
 
+def det_resize_padding(
+    img: np.ndarray, target_size: int = 736, pad_value: int = 240
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Padding-resize preprocess: scale the LONG side to ``target_size``
+    keeping aspect, paste centered on a (target, target) square canvas —
+    the preprocess whose coordinates DBPostProcess restores through the
+    affine path (``use_padding_resize``, ref db_postprocess.py:126-140).
+    ``pad_value`` defaults to the corpus background gray so the padding is
+    ink-free for this engine's density-based detector (the reference pads
+    with warpAffine's 0 because its CNN is trained on that).
+    Returns (canvas, (src_h, src_w))."""
+    src_h, src_w = img.shape[:2]
+    ratio = target_size / max(src_h, src_w)
+    rh = max(1, int(round(src_h * ratio)))
+    rw = max(1, int(round(src_w * ratio)))
+    resized = _resize_bilinear(img, rh, rw)
+    canvas = np.full((target_size, target_size), pad_value, dtype=img.dtype)
+    y0 = (target_size - rh) // 2
+    x0 = (target_size - rw) // 2
+    canvas[y0 : y0 + rh, x0 : x0 + rw] = resized
+    return canvas, (src_h, src_w)
+
+
 def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Bilinear resize of a 2-D uint8/float image (align-corners=False)."""
     h, w = img.shape
@@ -277,6 +300,7 @@ def boxes_from_bitmap(
     pre_activation=None,
     use_dilation: bool = False,
     score_mode: str = "box",
+    use_padding_resize: bool = False,
 ) -> tuple[np.ndarray, list[float]]:
     """prob map -> (boxes (K,4,2) int16 in source coords, scores).
 
@@ -286,6 +310,10 @@ def boxes_from_bitmap(
     numerically identical, skips the full-image sigmoid.
     ``use_dilation`` / ``score_mode`` mirror the reference's DBPostProcess
     options (db_postprocess.py:19-20,34-35,109-111).
+    ``use_padding_resize``: the prob map came from det_resize_padding (a
+    centered square); restore coordinates through the inverse affine
+    (transform_preds) instead of the per-axis ratio — ref
+    db_postprocess.py:126-140.
     """
     if score_mode not in ("box", "poly"):
         raise ValueError(
@@ -356,8 +384,16 @@ def boxes_from_bitmap(
         if sside2 < min_size + 2:
             continue
         out = box2.copy()
-        out[:, 0] = np.clip(np.round(out[:, 0] / width * src_w), 0, src_w)
-        out[:, 1] = np.clip(np.round(out[:, 1] / height * src_h), 0, src_h)
+        if use_padding_resize:
+            from .affine import transform_preds
+
+            center = np.array([src_w / 2.0, src_h / 2.0])
+            out = transform_preds(out, center, float(max(src_w, src_h)), float(height))
+            out[:, 0] = np.clip(np.round(out[:, 0]), 0, src_w)
+            out[:, 1] = np.clip(np.round(out[:, 1]), 0, src_h)
+        else:
+            out[:, 0] = np.clip(np.round(out[:, 0] / width * src_w), 0, src_w)
+            out[:, 1] = np.clip(np.round(out[:, 1] / height * src_h), 0, src_h)
         boxes.append(out.astype(np.int16))
         scores.append(score)
     if not boxes:

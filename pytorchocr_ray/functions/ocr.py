@@ -16,7 +16,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .ctc import ctc_greedy_decode
-from .dbpost import boxes_from_bitmap, det_resize
+from .dbpost import boxes_from_bitmap, det_resize, det_resize_padding
 from .geometry import get_part_img, maybe_rot90, sort_boxes
 from .models import ClsModel, DetModel, RecModel
 
@@ -49,9 +49,19 @@ class OcrEngine:
 
     def detect(self, gray: np.ndarray) -> np.ndarray:
         """Image -> sorted (K, 4, 2) int16 boxes in source coords."""
-        resized, (src_h, src_w, _rh, _rw) = det_resize(
-            gray, self.cfg.limit_side_len, self.cfg.limit_type
-        )
+        padding = self.cfg.limit_type == "padding"
+        if padding:
+            # square side = native long side capped by limit_side_len: the
+            # reference's CNN is scale-trained so it always maps to a fixed
+            # square; this engine's density detector is tuned at native
+            # glyph scale, so padding never UPSCALES (the affine restore is
+            # the same code path either way)
+            target = min(self.cfg.limit_side_len, max(gray.shape[:2]))
+            resized, (src_h, src_w) = det_resize_padding(gray, target)
+        else:
+            resized, (src_h, src_w, _rh, _rw) = det_resize(
+                gray, self.cfg.limit_side_len, self.cfg.limit_type
+            )
         # work in the pre-activation domain: binarize smooth directly and
         # activate only inside candidate boxes (identical results, no
         # full-image sigmoid — the stage is memory-bandwidth bound)
@@ -101,6 +111,7 @@ class OcrEngine:
                 ),
                 use_dilation=self.cfg.use_dilation,
                 score_mode=self.cfg.score_mode,
+                use_padding_resize=padding,
             )
         return sort_boxes(boxes)
 

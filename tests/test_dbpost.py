@@ -130,3 +130,42 @@ def test_score_mode_validation():
 
     with _pytest.raises(ValueError, match="score_mode"):
         boxes_from_bitmap(np.zeros((5, 5)), 5, 5, score_mode="contour")
+
+
+def test_affine_transform_matches_closed_form():
+    from pytorchocr_ray.functions.affine import get_affine_transform, transform_preds
+
+    src_h, src_w, target = 300, 480, 736
+    center = np.array([src_w / 2.0, src_h / 2.0])
+    scale = target / max(src_h, src_w)
+    # forward: source center -> square center; origin -> padded offset
+    fwd = get_affine_transform(center, max(src_h, src_w), target)
+    pt = fwd @ np.array([center[0], center[1], 1.0])
+    assert np.allclose(pt, [target / 2, target / 2])
+    # inverse restores source coordinates (closed form of centered pad)
+    coords = np.array([[100.0, 200.0], [0.0, 0.0], [736.0, 736.0]])
+    back = transform_preds(coords, center, max(src_h, src_w), target)
+    expect_x = (coords[:, 0] - target / 2) / scale + center[0]
+    expect_y = (coords[:, 1] - target / 2) / scale + center[1]
+    assert np.allclose(back[:, 0], expect_x, atol=1e-9)
+    assert np.allclose(back[:, 1], expect_y, atol=1e-9)
+
+
+def test_padding_resize_detect_reads_same_text():
+    from pytorchocr_ray.functions.ocr import OcrConfig, OcrEngine
+    from pytorchocr_ray.functions.png import decode_gray
+    from pytorchocr_ray.state.weights import build_weights
+    from pytorchocr_ray.synth.generate import generate_docs
+
+    _docs, media, gt, _exp = generate_docs(np.arange(8), seed=9)
+    gtl = {r["media_ref"]: [x["text"] for x in r["regions"]] for r in gt.to_pylist()}
+    w = build_weights()
+    eng_ratio = OcrEngine(w, OcrConfig())
+    eng_pad = OcrEngine(w, OcrConfig(limit_type="padding", limit_side_len=736))
+    checked = 0
+    for row in media.to_pylist():
+        img = decode_gray(row["data"])
+        texts_pad = [t for _b, t, _p in eng_pad.ocr_image(img)]
+        assert texts_pad == gtl[row["media_ref"]]
+        checked += 1
+    assert checked >= 3
