@@ -88,6 +88,48 @@ def ctc_label_encode(
     return out, len(idxs)
 
 
+def attn_label_encode(
+    text: str, max_text_len: int = 25
+) -> tuple[np.ndarray, int] | None:
+    """Text -> attention-head training target (reference AttnLabelEncode,
+    label_ops.py:302-331): char indices shifted +1 for the [sos] slot,
+    framed ``[sos=0] + idxs + [eos=C-1]``, zero-padded to max_text_len;
+    None when empty or len >= max_text_len."""
+    from .charset import CHARSET, char_to_index
+
+    if len(text) == 0 or len(text) >= max_text_len:
+        return None
+    idxs = [i + 1 for i in (char_to_index(c) for c in text) if i is not None]
+    if not idxs:
+        return None
+    n_classes = len(CHARSET) + 2  # [sos] + chars + [eos]
+    framed = [0] + idxs + [n_classes - 1]
+    out = np.zeros(max_text_len, dtype=np.int64)
+    out[: len(framed)] = framed
+    return out, len(idxs)
+
+
+def table_label_encode(
+    tokens: list[str], vocab: list[str], max_len: int = 500
+) -> tuple[np.ndarray, int] | None:
+    """Structure tokens -> attention-framed index target (reference
+    TableLabelEncode, label_ops.py:334+): same [sos]/[eos] framing over the
+    structure-token vocabulary; None for empty/over-long sequences or
+    unknown tokens."""
+    if len(tokens) == 0 or len(tokens) >= max_len:
+        return None
+    lookup = {t: i + 1 for i, t in enumerate(vocab)}
+    try:
+        idxs = [lookup[t] for t in tokens]
+    except KeyError:
+        return None
+    n_classes = len(vocab) + 2
+    framed = [0] + idxs + [n_classes - 1]
+    out = np.zeros(max_len, dtype=np.int64)
+    out[: len(framed)] = framed
+    return out, len(idxs)
+
+
 def structure_greedy_decode(
     probs: np.ndarray, vocab: list[str], eos: str = "</html>"
 ) -> list[str]:

@@ -47,3 +47,32 @@ def test_prob_is_mean_of_kept():
     text, p = ctc_greedy_decode(probs)
     assert text == "ab"
     assert abs(p - (0.8 + 0.6) / 2) < 1e-6
+
+
+def test_attn_label_encode_framing():
+    from pytorchocr_ray.functions.charset import CHARSET, char_to_index
+    from pytorchocr_ray.functions.ctc import attn_label_encode
+
+    out = attn_label_encode("ab", max_text_len=10)
+    assert out is not None
+    arr, n = out
+    assert n == 2
+    assert arr[0] == 0  # sos
+    assert arr[1] == char_to_index("a") + 1
+    assert arr[2] == char_to_index("b") + 1
+    assert arr[3] == len(CHARSET) + 1  # eos
+    assert (arr[4:] == 0).all()
+    assert attn_label_encode("", 10) is None
+    assert attn_label_encode("x" * 10, 10) is None  # len >= max rejected
+
+
+def test_table_label_encode_framing():
+    from pytorchocr_ray.functions.ctc import table_label_encode
+    from pytorchocr_ray.functions.table import TABLE_VOCAB
+
+    toks = ["<table>", "<tr>", "<td>", "</td>", "</tr>", "</table>"]
+    out = table_label_encode(toks, TABLE_VOCAB, max_len=20)
+    assert out is not None
+    arr, n = out
+    assert n == 6 and arr[0] == 0 and arr[7] == len(TABLE_VOCAB) + 1
+    assert table_label_encode(["<nope>"], TABLE_VOCAB) is None
