@@ -177,11 +177,9 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        # min-of-2: a fresh Ray session's first run can absorb page-cache
-        # misses and teardown noise from the previous session; report the
-        # better of two runs per level (same policy both levels)
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+        # one subprocess per level: run_bench itself warms up and reports
+        # min-of-2 extract runs, so the outer repeat is no longer needed
+        return run_once(ncpu)
 
     lo_cpus, hi_cpus = 8, 32
     lo = run(lo_cpus)

@@ -109,10 +109,16 @@ def extract_dataset(
         if media_path is None:
             raise ValueError("media_mode='join' requires media_path")
         media_ds = rd.read_parquet(media_path, columns=["media_ref", "data"])
+        # split the CPU budget between the join's aggregator actors and the
+        # OCR pool: both are fixed-size actor groups, and requesting
+        # pool+aggregators > cluster CPUs deadlocks the streaming executor
+        # (observed at 32 cpus: 30 OCR actors + 30 aggregators wedged)
+        nparts = max(2, conc // 4)
+        conc = max(1, conc - nparts - 2)
         ds = ds.join(
             media_ds,
             "left_outer",  # text rows (media_ref="") keep data=null
-            num_partitions=conc,
+            num_partitions=nparts,
             on=("media_ref",),
         )
         media_ref = {}  # actors read the joined "data" column
