@@ -6,11 +6,13 @@ The driver initialises Ray itself; nothing here (or in the library) calls
 * ``entry()`` — flagship interleaved-corpus extraction at sf0.001 scale.
 * ``queries()`` — every implemented operator/pipeline (SURVEY.md §2 +
   training-data ops), each a callable of ``sf_dir``.
-* ``oracle_sql()`` — DuckDB twins for every query except the stubbed
-  audio/video decode stages and the engine-metric aggregate (genuinely
-  non-SQL: fake binary decoders / model evaluation).  Round 2 re-based the
-  sketch ops (fingerprint, simhash, minhash, embedding LSH, IVF) on
-  SQL-expressible hashes so they are hash-verified too.
+* ``oracle_sql()`` — DuckDB twins for every query except the engine-metric
+  aggregate (genuinely non-SQL: model evaluation).  Round 2 re-based the
+  sketch ops (fingerprint, simhash, minhash, n-gram Jaccard, embedding
+  LSH, IVF) on SQL-expressible hashes, gave the flagship extraction and
+  the table branch ground-truth oracles, and made the audio/video fake
+  decoders LCG-arithmetic so even the stub-decode stages are
+  hash-verified.
 
 The interleaved corpus itself is synthesized deterministically per sf_dir
 (seed fixed, cached under /tmp) because the BASELINE input_hint's
@@ -62,29 +64,36 @@ def _n_rows(sf_dir: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
 
 
+def _audio_parquet(sf_dir: str) -> str:
+    from pytorchocr_ray.synth.multimodal import synth_audio_parquet
+
+    return synth_audio_parquet(min(200, _n_rows(sf_dir)), seed=_SEED)
+
+
+def _video_parquet(sf_dir: str) -> str:
+    from pytorchocr_ray.synth.multimodal import synth_video_parquet
+
+    return synth_video_parquet(min(200, _n_rows(sf_dir)), seed=_SEED)
+
+
 def _audio_features(sf_dir: str) -> Any:
     import ray.data as rd
 
-    from pytorchocr_ray.stages.multimodal import audio_features
-    from pytorchocr_ray.synth.multimodal import synth_audio_table
-
     from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.stages.multimodal import audio_features
 
-    # from_arrow yields one block; split so the actor pool gets parallel input
-    ds = rd.from_arrow(synth_audio_table(min(200, _n_rows(sf_dir)), seed=_SEED))
-    return audio_features(ds.repartition(8), concurrency=pool_size())
+    ds = rd.read_parquet(_audio_parquet(sf_dir), override_num_blocks=8)
+    return audio_features(ds, concurrency=pool_size())
 
 
 def _video_frames(sf_dir: str) -> Any:
     import ray.data as rd
 
-    from pytorchocr_ray.stages.multimodal import video_frame_samples
-    from pytorchocr_ray.synth.multimodal import synth_video_table
-
     from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.stages.multimodal import video_frame_samples
 
-    ds = rd.from_arrow(synth_video_table(min(200, _n_rows(sf_dir)), seed=_SEED))
-    return video_frame_samples(ds.repartition(8), concurrency=pool_size())
+    ds = rd.read_parquet(_video_parquet(sf_dir), override_num_blocks=8)
+    return video_frame_samples(ds, concurrency=pool_size())
 
 
 def _sessionize(sf_dir: str) -> Any:
@@ -159,7 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "simsearch_topk": simsearch.topk_bruteforce,
         "simsearch_ivf": simsearch.topk_ivf,
-        # multimodal binary-payload stages (stubbed decode; rows-only)
+        # multimodal binary-payload stages (stub decoders, SQL-verified)
         "audio_features": _audio_features,
         "video_frames": _video_frames,
         # engine evaluation (det IoU + rec accuracy, partial+final agg)
@@ -203,9 +212,16 @@ def oracle_sql() -> dict[str, str]:
         "expected.parquet",
     )
 
+    from pytorchocr_ray.stages.multimodal import (
+        audio_features_sql,
+        video_frames_sql,
+    )
+
     return {
         "extract_interleaved": extract_sql,
         "extract_split_plan": extract_sql,
+        "audio_features": audio_features_sql(_audio_parquet("/root/testdata/sf0.01")),
+        "video_frames": video_frames_sql(_video_parquet("/root/testdata/sf0.01")),
         "table_structure": (
             "SELECT filename, structure, n_cells, bbox_sum "
             f"FROM read_parquet('{pubtab_expected}')"

@@ -3,23 +3,30 @@ map_batches stages.
 
 Images are first-class in this engine (PNG codec + OCR). Audio and video
 have no decoders in this container, so the DECODE step of each stage is
-stubbed — either a clearly-marked ``NotImplementedError`` (strict mode) or a
-deterministic fake decoder — while all the Ray-side plumbing (schemas,
-batch sizes, actor signature, output layout) is real and tested, per the
-engine contract for payload types we cannot decode natively.
+stubbed — a clearly-marked ``NotImplementedError`` on undecodable input,
+otherwise a deterministic fake decoder — while all the Ray-side plumbing
+(schemas, batch sizes, actor signature, output layout) is real and tested.
+
+Round 2: the fake decoders are SQL-EXPRESSIBLE — a 31-bit LCG stream
+seeded from the payload's first 8 bytes, quantized to int16 PCM / uint8
+luma — and every feature is an exact integer sum divided once, so the
+driver's DuckDB oracle reproduces the outputs bit-for-bit (the synthetic
+tables also carry the derived ``seed`` column so SQL can join it; the
+ENGINE always derives the seed from the payload bytes).
 
 Schemas:
-  audio(sample_ref: string, data: binary, sample_rate: int32, n_samples: int32)
+  audio(sample_ref: string, data: binary, sample_rate: int32,
+        n_samples: int32, seed: int64)
   video(frame_ref: string, data: binary, width: int32, height: int32,
-        n_frames: int32, fps: float32)
+        n_frames: int32, fps: float32, seed: int64)
 
 Stages:
   * :class:`AudioFeatureStage` — decode -> frame into windows -> per-window
-    log-energy + zero-crossing features (list<float32>)
+    (energy, zero-crossing-rate) feature columns
   * :class:`VideoFrameSampleStage` — decode -> sample every k-th frame ->
-    one output row per sampled frame with a per-frame mean-luma feature
-Both follow the same actor-pool shape as OcrStage: weights/config once in
-__init__, vectorized numpy per batch, small batch sizes for fat binary rows.
+    one output row per sampled frame with its mean luma
+Both follow the same actor-pool shape as OcrStage: config once in
+__init__, vectorized numpy per batch, small batch sizes for fat rows.
 """
 
 from __future__ import annotations
@@ -27,19 +34,41 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+M31 = 2147483647
+LCG_A = 1103515245
+LCG_C = 12345
+AUDIO_WINDOW = 1024
+AUDIO_HOP = 512
+ENERGY_SCALE = float(1 << 30)
+
+
+def payload_seed(data: bytes) -> int:
+    """First 8 payload bytes (LE uint64) reduced mod 2^31-1 — the fake
+    decoders' stream seed; the synth tables store the same value so the
+    SQL oracle can reproduce the stream without byte surgery."""
+    return int(
+        np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+        % np.uint64(M31)
+    )
+
+
+def _lcg_stream(seed: int, n: int) -> np.ndarray:
+    """x_i = (seed*A + i*C) mod M31 — exact in uint64 AND in BIGINT SQL."""
+    i = np.arange(n, dtype=np.uint64)
+    return (np.uint64(seed) * np.uint64(LCG_A) + i * np.uint64(LCG_C)) % np.uint64(M31)
+
 
 def fake_audio_decode(data: bytes, n_samples: int, sample_rate: int) -> np.ndarray:
-    """STUB decoder (no audio libs in this container): deterministic PCM
-    derived from the payload bytes — replace with soundfile/ffmpeg when
-    available. Output contract: float32 mono in [-1, 1], length n_samples."""
+    """STUB decoder (no audio libs in this container): deterministic int16
+    PCM derived from the payload bytes — replace with soundfile/ffmpeg when
+    available. Output contract: int32 array in [-32768, 32767]."""
     if not data:
         raise NotImplementedError(
             "real audio decoding requires an audio library not present in "
             "this container; empty payloads cannot be faked"
         )
-    seed = np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-    rng = np.random.default_rng(seed)
-    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
+    x = _lcg_stream(payload_seed(data), n_samples)
+    return ((x % np.uint64(65536)).astype(np.int64) - 32768).astype(np.int32)
 
 
 def fake_video_decode(
@@ -52,51 +81,54 @@ def fake_video_decode(
             "real video decoding requires a video library not present in "
             "this container; empty payloads cannot be faked"
         )
-    seed = np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, (n_frames, height, width), dtype=np.uint8)
+    x = _lcg_stream(payload_seed(data), n_frames * height * width)
+    return (x % np.uint64(256)).astype(np.uint8).reshape(n_frames, height, width)
 
 
 class AudioFeatureStage:
-    """audio rows -> (sample_ref, window_idx, features list<float32>[2]).
+    """audio rows -> (sample_ref, window_idx, energy, zcr).
 
-    features = [log energy, zero-crossing rate] per window — the shape a
-    real fbank/MFCC front end would have.
+    energy = sum(q^2) / 2^30 (exact integer sum, one exact power-of-two
+    division); zcr = sign changes / window — the shape a real fbank/MFCC
+    front end would have, numerically reproducible by the SQL oracle.
     """
 
-    def __init__(self, window: int = 1024, hop: int = 512, decoder=fake_audio_decode):
+    def __init__(self, window: int = AUDIO_WINDOW, hop: int = AUDIO_HOP,
+                 decoder=fake_audio_decode):
         self.window = window
         self.hop = hop
         self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs, widx, feats = [], [], []
+        refs, widx, energy, zcr = [], [], [], []
         for ref, data, sr, n in zip(
             batch["sample_ref"].to_pylist(),
             batch["data"].to_pylist(),
             batch["sample_rate"].to_pylist(),
             batch["n_samples"].to_pylist(),
         ):
-            pcm = self.decoder(data, n, sr)
-            if len(pcm) < self.window:
+            q = self.decoder(data, n, sr).astype(np.int64)
+            if len(q) < self.window:
                 continue
-            n_win = 1 + (len(pcm) - self.window) // self.hop
+            n_win = 1 + (len(q) - self.window) // self.hop
             idx = (
                 np.arange(self.window)[None, :]
                 + self.hop * np.arange(n_win)[:, None]
             )
-            wins = pcm[idx]  # (n_win, window), vectorized framing
-            energy = np.log1p((wins**2).sum(axis=1))
-            zc = (np.abs(np.diff(np.signbit(wins), axis=1)).sum(axis=1)) / self.window
-            for i in range(n_win):
-                refs.append(ref)
-                widx.append(i)
-                feats.append([float(energy[i]), float(zc[i])])
+            wins = q[idx]  # (n_win, window), vectorized framing
+            e = (wins * wins).sum(axis=1)  # exact int64 (< 2^40)
+            neg = wins < 0
+            zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+            refs.extend([ref] * n_win)
+            widx.extend(range(n_win))
+            energy.extend((e / ENERGY_SCALE).tolist())
+            zcr.extend((zc / self.window).tolist())
         return pa.table(
             {
                 "sample_ref": pa.array(refs, pa.string()),
                 "window_idx": pa.array(widx, pa.int32()),
-                "features": pa.array(feats, pa.list_(pa.float32())),
+                "energy": pa.array(energy, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
             }
         )
 
@@ -119,16 +151,16 @@ class VideoFrameSampleStage:
         ):
             frames = self.decoder(data, n, h, w)
             sel = np.arange(0, n, self.every_k)
-            means = frames[sel].mean(axis=(1, 2))
-            for i, m in zip(sel.tolist(), means.tolist()):
-                refs.append(ref)
-                fidx.append(i)
-                luma.append(float(m))
+            sums = frames[sel].astype(np.int64).sum(axis=(1, 2))  # exact
+            means = sums / float(h * w)  # one exact-input division
+            refs.extend([ref] * len(sel))
+            fidx.extend(sel.tolist())
+            luma.extend(means.tolist())
         return pa.table(
             {
                 "frame_ref": pa.array(refs, pa.string()),
                 "frame_idx": pa.array(fidx, pa.int32()),
-                "mean_luma": pa.array(luma, pa.float32()),
+                "mean_luma": pa.array(luma, pa.float64()),
             }
         )
 
@@ -152,3 +184,55 @@ def video_frame_samples(ds, concurrency: int = 4, batch_size: int = 4, **params)
         concurrency=concurrency,
         fn_constructor_kwargs=params,
     )
+
+
+# ----------------------------------------------------------------- SQL twins
+
+def audio_features_sql(parquet_path: str, window: int = AUDIO_WINDOW,
+                       hop: int = AUDIO_HOP) -> str:
+    """DuckDB twin of AudioFeatureStage over the written synth table:
+    regenerates the LCG stream from the stored seed, frames the overlapping
+    windows (each sample belongs to at most two), and reproduces the exact
+    integer sums."""
+    return f"""
+WITH a AS (SELECT sample_ref, n_samples, seed
+           FROM read_parquet('{parquet_path}')
+           WHERE n_samples >= {window}),
+s AS (SELECT sample_ref, n_samples, seed, unnest(range(n_samples)) AS i FROM a),
+q AS (SELECT sample_ref, n_samples, i,
+             ((seed * {LCG_A} + i * {LCG_C}) % {M31}) % 65536 - 32768 AS qv
+      FROM s),
+w AS (SELECT sample_ref, n_samples, i, qv,
+             unnest([i // {hop}, i // {hop} - 1]) AS k
+      FROM q),
+wf AS (SELECT * FROM w
+       WHERE k >= 0 AND k <= (n_samples - {window}) // {hop}
+         AND i >= k * {hop} AND i < k * {hop} + {window}),
+z AS (SELECT sample_ref, k, qv,
+             CASE WHEN lag(qv) OVER win IS NOT NULL
+                   AND (qv < 0) != (lag(qv) OVER win < 0)
+                  THEN 1 ELSE 0 END AS zc
+      FROM wf WINDOW win AS (PARTITION BY sample_ref, k ORDER BY i))
+SELECT sample_ref, CAST(k AS INT) AS window_idx,
+       CAST(sum(qv * qv) AS DOUBLE) / {int(ENERGY_SCALE)} AS energy,
+       CAST(sum(zc) AS DOUBLE) / {window} AS zcr
+FROM z GROUP BY sample_ref, k
+"""
+
+
+def video_frames_sql(parquet_path: str, every_k: int = 5) -> str:
+    return f"""
+WITH v AS (SELECT frame_ref, width, height, n_frames, seed
+           FROM read_parquet('{parquet_path}')),
+f AS (SELECT frame_ref, width, height, seed,
+             unnest(range(0, n_frames, {every_k})) AS fi
+      FROM v),
+px AS (SELECT frame_ref, fi, seed,
+              fi * width * height + unnest(range(width * height)) AS p,
+              width * height AS npx
+       FROM f)
+SELECT frame_ref, CAST(fi AS INT) AS frame_idx,
+       CAST(sum(((seed * {LCG_A} + p * {LCG_C}) % {M31}) % 256) AS DOUBLE)
+         / (max(npx)) AS mean_luma
+FROM px GROUP BY frame_ref, fi
+"""

@@ -11,13 +11,13 @@ def test_audio_feature_stage(ray_session):
     t = synth_audio_table(10, seed=1)
     ds = rd.from_arrow(t)
     out = audio_features(ds, concurrency=2).to_pandas()
-    assert set(out.columns) == {"sample_ref", "window_idx", "features"}
+    assert set(out.columns) == {"sample_ref", "window_idx", "energy", "zcr"}
     assert out["sample_ref"].nunique() == 10
     # window counts match 1 + (n - window)//hop
     n0 = int(t.to_pandas().set_index("sample_ref").loc["aud-000000", "n_samples"])
     expect = 1 + (n0 - 1024) // 512
     assert (out["sample_ref"] == "aud-000000").sum() == expect
-    assert all(len(f) == 2 for f in out["features"])
+    assert (out["energy"] > 0).all() and out["zcr"].between(0, 1).all()
 
 
 def test_audio_features_deterministic(ray_session):
@@ -33,10 +33,8 @@ def test_audio_features_deterministic(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a["sample_ref"].tolist() == b["sample_ref"].tolist()
-    np.testing.assert_allclose(
-        np.stack(a["features"].map(np.asarray)),
-        np.stack(b["features"].map(np.asarray)),
-    )
+    np.testing.assert_array_equal(a["energy"].to_numpy(), b["energy"].to_numpy())
+    np.testing.assert_array_equal(a["zcr"].to_numpy(), b["zcr"].to_numpy())
 
 
 def test_video_frame_sample_stage(ray_session):

@@ -148,3 +148,54 @@ def test_ngram_jaccard_pairs_parity(ray_session, parity_dir, con):
     for i in range(4):
         assert (i, 30 + i) in found  # planted near-dups share rare shingles
     _match(e, con.sql(ngram_jaccard_pairs_sql()).df(), ["doc_a", "doc_b"])
+
+
+def test_multimodal_stub_decode_parity(ray_session):
+    """The LCG fake decoders + integer features must match the DuckDB
+    stream regeneration bit-for-bit (round 2: flips the last stub stages
+    to hash-verified)."""
+    import ray.data as rd
+
+    from pytorchocr_ray.stages.multimodal import (
+        audio_features,
+        audio_features_sql,
+        video_frame_samples,
+        video_frames_sql,
+    )
+    from pytorchocr_ray.synth.multimodal import (
+        synth_audio_parquet,
+        synth_video_parquet,
+    )
+
+    import duckdb as ddb
+    import pandas as pd
+
+    ap = synth_audio_parquet(6, seed=9)
+    vp = synth_video_parquet(6, seed=9)
+    c = ddb.connect()
+    a = (
+        audio_features(rd.read_parquet(ap), concurrency=2)
+        .to_pandas()
+        .sort_values(["sample_ref", "window_idx"])
+        .reset_index(drop=True)
+    )
+    ao = (
+        c.sql(audio_features_sql(ap))
+        .df()[list(a.columns)]
+        .sort_values(["sample_ref", "window_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, ao, check_dtype=False, check_exact=True)
+    v = (
+        video_frame_samples(rd.read_parquet(vp), concurrency=2)
+        .to_pandas()
+        .sort_values(["frame_ref", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    vo = (
+        c.sql(video_frames_sql(vp))
+        .df()[list(v.columns)]
+        .sort_values(["frame_ref", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(v, vo, check_dtype=False, check_exact=True)
