@@ -189,17 +189,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Oracle SQL per query.  ``sf_dir`` must be the same scale factor the
+    driver runs ``queries()`` at (ADVICE r2: the fixture-backed oracles —
+    extraction ground truth, pubtab expected table, audio/video synth
+    parquet — are derived from it, not pinned to sf0.01)."""
     from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
 
     # The flagship extraction oracle is the generator's GROUND-TRUTH span
     # table (normalized text spans + rendered transcripts in reading
     # order), written next to the corpus at synthesis time — an oracle
     # STRONGER than a SQL reimplementation: the engine must reproduce the
-    # rendered truth, not merely agree with another program.  The driver
-    # compares at sf0.01; materialize that corpus now so the SQL can read
-    # it regardless of call order.
-    corpus = _corpus_for("/root/testdata/sf0.01")
+    # rendered truth, not merely agree with another program.  Materialize
+    # that corpus now so the SQL can read it regardless of call order.
+    corpus = _corpus_for(sf_dir)
     extract_sql = (
         'SELECT doc_id, "order", kind, text, media_ref '
         f"FROM read_parquet('{corpus}/expected/*.parquet')"
@@ -208,7 +211,7 @@ def oracle_sql() -> dict[str, str]:
     import os
 
     pubtab_expected = os.path.join(
-        os.path.dirname(_pubtab_fixture("/root/testdata/sf0.01")),
+        os.path.dirname(_pubtab_fixture(sf_dir)),
         "expected.parquet",
     )
 
@@ -220,8 +223,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_interleaved": extract_sql,
         "extract_split_plan": extract_sql,
-        "audio_features": audio_features_sql(_audio_parquet("/root/testdata/sf0.01")),
-        "video_frames": video_frames_sql(_video_parquet("/root/testdata/sf0.01")),
+        "audio_features": audio_features_sql(_audio_parquet(sf_dir)),
+        "video_frames": video_frames_sql(_video_parquet(sf_dir)),
         "table_structure": (
             "SELECT filename, structure, n_cells, bbox_sum "
             f"FROM read_parquet('{pubtab_expected}')"

@@ -60,12 +60,13 @@ def segment_bounds(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ends - lengths, ends
 
 
-def poly_hash_strings(strings: list[str]) -> np.ndarray:
+def poly_hash_strings(strings: list[str], base: int = B_CHAR) -> np.ndarray:
     """Vectorized char-level polynomial hash; empty string -> 0.
 
     One pass: join -> utf-32 decode -> per-position weight gather ->
     per-string reduceat.  Exact for any string length (terms reduced mod
-    M31 before the segment sum).
+    M31 before the segment sum).  ``base`` selects an independent hash
+    family member (the widened SimHash runs 4 bases over one decode).
     """
     n = len(strings)
     if n == 0:
@@ -80,7 +81,7 @@ def poly_hash_strings(strings: list[str]) -> np.ndarray:
     ).astype(np.uint64)
     starts, ends = segment_bounds(lens)
     exp = np.repeat(ends, lens) - 1 - np.arange(total, dtype=np.int64)
-    pows = _pow_table(B_CHAR, int(lens.max()))
+    pows = _pow_table(base, int(lens.max()))
     prod = (codes * pows[exp]) % np.uint64(M31)  # term < 2^52 pre-mod
     nz = lens > 0
     out[nz] = np.add.reduceat(prod, starts[nz]) % np.uint64(M31)
@@ -121,12 +122,12 @@ def tokenize_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
 
 # ----------------------------------------------------------------- SQL twins
 
-def sql_char_hash(expr: str) -> str:
+def sql_char_hash(expr: str, base: int = B_CHAR) -> str:
     """DuckDB twin of :func:`poly_hash_strings` for a non-empty string expr."""
     return (
         f"list_reduce(list_transform(string_split({expr}, ''), "
         f"c -> CAST(unicode(c) AS BIGINT)), "
-        f"(a, c) -> (a * {B_CHAR} + c) % {M31})"
+        f"(a, c) -> (a * {base} + c) % {M31})"
     )
 
 

@@ -192,8 +192,15 @@ def audio_features_sql(parquet_path: str, window: int = AUDIO_WINDOW,
                        hop: int = AUDIO_HOP) -> str:
     """DuckDB twin of AudioFeatureStage over the written synth table:
     regenerates the LCG stream from the stored seed, frames the overlapping
-    windows (each sample belongs to at most two), and reproduces the exact
-    integer sums."""
+    windows, and reproduces the exact integer sums.
+
+    Window membership is enumerated generally (ADVICE r2: the old
+    ``[i//hop, i//hop-1]`` list was only correct for window == 2*hop):
+    sample i can belong to windows k in [i//hop - ceil(window/hop) + 1,
+    i//hop]; the wf filter keeps exactly those with
+    k*hop <= i < k*hop + window."""
+    n_cand = -(-window // hop)  # ceil(window/hop) candidate windows/sample
+    members = ", ".join(f"i // {hop} - {j}" for j in range(n_cand))
     return f"""
 WITH a AS (SELECT sample_ref, n_samples, seed
            FROM read_parquet('{parquet_path}')
@@ -203,7 +210,7 @@ q AS (SELECT sample_ref, n_samples, i,
              ((seed * {LCG_A} + i * {LCG_C}) % {M31}) % 65536 - 32768 AS qv
       FROM s),
 w AS (SELECT sample_ref, n_samples, i, qv,
-             unnest([i // {hop}, i // {hop} - 1]) AS k
+             unnest([{members}]) AS k
       FROM q),
 wf AS (SELECT * FROM w
        WHERE k >= 0 AND k <= (n_samples - {window}) // {hop}

@@ -200,7 +200,16 @@ class OcrStage:
                 out.add(doc_ids[i], offsets[i], TOMBSTONE_REGION, "media", "",
                         refs[i], None, None, sidx[i], nsp[i])
                 continue
-            for ridx, (box, text, prob) in enumerate(self.engine.ocr_image(gray)):
+            regions = self.engine.ocr_image(gray)
+            if not regions:
+                # a decodable image where the detector finds NO text emits
+                # zero real rows — without a tombstone the doc's span-index
+                # set is incomplete and the reassembly lineage guard would
+                # false-positive on legitimate text-free images (ADVICE r2)
+                out.add(doc_ids[i], offsets[i], TOMBSTONE_REGION, "media", "",
+                        refs[i], None, None, sidx[i], nsp[i])
+                continue
+            for ridx, (box, text, prob) in enumerate(regions):
                 out.add(
                     doc_ids[i],
                     offsets[i],
@@ -285,7 +294,14 @@ class DetStage:
                 continue
             from ..functions.geometry import get_part_img, maybe_rot90
 
-            for ridx, box in enumerate(self.engine.detect(gray)):
+            boxes = self.engine.detect(gray)
+            if not len(boxes):
+                # zero-detection tombstone: keeps span lineage complete for
+                # the reassembly guard on text-free images (ADVICE r2)
+                add(doc, off, TOMBSTONE_REGION, "media", "", ref, None, None,
+                    sidx[i], nsp[i])
+                continue
+            for ridx, box in enumerate(boxes):
                 crop = maybe_rot90(get_part_img(gray, box.astype(np.float64)))
                 add(doc, off, ridx, "media", "", ref, box.reshape(-1).tolist(), crop,
                     sidx[i], nsp[i])

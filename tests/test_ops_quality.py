@@ -119,3 +119,61 @@ def test_fingerprint_stable_and_distinct(ray_session, crafted_dir):
     fp = dict(zip(f1["doc_id"], f1["fp"]))
     assert fp[10] == fp[45] and fp[11] == fp[46]  # exact dups share fp
     assert fp[0] != fp[40]  # edits change fp
+
+
+def test_simhash_drops_tokenless_docs():
+    """ADVICE r2: zero-token docs must be dropped (MinHasher contract) —
+    they all shared signature 0 and formed one quadratic hot bucket."""
+    from pytorchocr_ray.ops.dedup import SimHasher
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["hello world", "", "   ", "foo bar"]),
+        }
+    )
+    out = SimHasher()(t)
+    assert out["doc_id"].to_pylist() == [1, 4]
+    assert set(out.column_names) == {"doc_id", "sig0", "sig1", "sig2", "sig3"}
+
+
+def test_simhash_bucket_sizes_bounded_on_skewed_corpus():
+    """VERDICT r2 #3: the widened 124-bit signature with 15/16-bit band keys
+    must not pile distinct docs into a handful of buckets (the round-2
+    4x8-bit scheme had <=256 keys/band: ~N/256 per bucket -> quadratic
+    in-bucket pair enumeration at scale).  Skewed corpus: every doc shares
+    a heavy boilerplate prefix, content tokens are Zipf-drawn."""
+    from pytorchocr_ray.ops.dedup import SIMHASH_BANDS, SimHasher, _band_specs
+
+    rng = np.random.default_rng(7)
+    boiler = "terms of service apply all rights reserved contact us "
+    vocab = np.array([f"tok{i}" for i in range(50_000)])
+    # every doc: the shared boilerplate head (hot tokens) + 50 distinct
+    # content tokens — docs are NOT near-duplicates, so they must spread
+    draws = rng.integers(0, len(vocab), size=(3000, 50))
+    texts = [boiler + " ".join(vocab[row]) for row in draws]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    sig = SimHasher()(t)
+    sigs = np.stack(
+        [np.asarray(sig[f"sig{w}"].to_pylist(), np.int64) for w in range(4)],
+        axis=1,
+    )
+    worst = 0
+    distinct_keys = 0
+    for band, w, lo, mask in _band_specs():
+        keys = (sigs[:, w] >> lo) & mask
+        _, counts = np.unique(keys, return_counts=True)
+        worst = max(worst, int(counts.max()))
+        distinct_keys = max(distinct_keys, len(counts))
+    assert SIMHASH_BANDS == 8
+    # key space actually used must exceed the old 256-bucket ceiling ...
+    assert distinct_keys > 256, distinct_keys
+    # ... and no band bucket may hold more than 5% of the corpus (the
+    # boilerplate head biases some majority bits, so keys are not uniform;
+    # under the old 8-bit keys the same corpus piled >30% into one bucket)
+    assert worst <= len(texts) * 0.05, worst
