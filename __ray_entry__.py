@@ -237,7 +237,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_pairs": dedup.minhash_pairs_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),
-        "embedding_neardup": dedup.embedding_neardup_sql(),
+        "embedding_neardup": dedup.embedding_neardup_sql(sf_dir=sf_dir),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simsearch_topk": simsearch.topk_bruteforce_sql(),
         "simsearch_ivf": simsearch.topk_ivf_sql(),

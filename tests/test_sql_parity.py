@@ -120,9 +120,54 @@ def test_embedding_neardup_parity(ray_session, parity_dir, con):
         assert (i, 25 + i) in found
     _match(
         e,
-        con.sql(embedding_neardup_sql(dim=16, threshold=0.9)).df(),
+        con.sql(embedding_neardup_sql(threshold=0.9, sf_dir=parity_dir)).df(),
         ["vec_a", "vec_b"],
     )
+
+
+def test_embedding_planes_autoscale_parity(ray_session, tmp_path):
+    """VERDICT r2 #4: plane count scales with corpus size, SQL twin derives
+    the same count — parity must hold at two sizes with DIFFERENT counts."""
+    import duckdb
+
+    from pytorchocr_ray.ops.dedup import (
+        auto_planes,
+        embedding_neardup,
+        embedding_neardup_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    sizes = (40, 600)
+    plane_counts = []
+    for n in sizes:
+        d = tmp_path / f"emb{n}"
+        d.mkdir()
+        base = rng.standard_normal((n, 8))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        base[1] = base[0] + 0.02 * rng.standard_normal(8)  # planted dup
+        base[1] /= np.linalg.norm(base[1])
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, e)) for e in base], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        plane_counts.append(auto_planes(n))
+        e = embedding_neardup(str(d), threshold=0.9).to_pandas()
+        c = duckdb.connect()
+        c.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        o = c.sql(embedding_neardup_sql(threshold=0.9, sf_dir=str(d))).df()
+        assert (0, 1) in set(zip(e["vec_a"], e["vec_b"]))
+        _match(e, o, ["vec_a", "vec_b"])
+    assert plane_counts[0] != plane_counts[1], plane_counts
 
 
 def test_topk_ivf_parity(ray_session, parity_dir, con):
