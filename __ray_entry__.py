@@ -220,9 +220,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         video_frames_sql,
     )
 
+    # evaluate_engine oracle (round 3, closes the last no_oracle row): the
+    # single-process serial loop over the same per-image integer counters,
+    # written as a 1-row parquet — the distributed partial+final aggregate
+    # must reproduce it bit-for-bit (integer counter sums are exact)
+    from pytorchocr_ray.oracle.metrics import expected_metrics_parquet
+
+    metrics_parquet = expected_metrics_parquet(corpus, sharded=True)
+
     return {
         "extract_interleaved": extract_sql,
         "extract_split_plan": extract_sql,
+        "evaluate_engine": (
+            "SELECT \"precision\", recall, hmean, acc, norm_edit_sim "
+            f"FROM read_parquet('{metrics_parquet}')"
+        ),
         "audio_features": audio_features_sql(_audio_parquet(sf_dir)),
         "video_frames": video_frames_sql(_video_parquet(sf_dir)),
         "table_structure": (

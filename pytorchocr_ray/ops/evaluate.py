@@ -13,8 +13,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.metrics import (
-    combine_det_counters,
-    combine_rec_counters,
     det_counters,
     det_match_pairs,
     rec_counters,
@@ -22,6 +20,72 @@ from ..functions.metrics import (
 from ..functions.ocr import OcrEngine
 from ..functions.png import decode_gray
 from ..state.weights import build_weights
+
+# per-pair rec similarity is quantized to integer micro-units BEFORE any
+# aggregation: integer sums are exact and order-independent, so the
+# distributed Ray Sum and the serial oracle sum produce bit-identical
+# totals (float partial sums would differ in the last bits depending on
+# block combine order) — the basis of the evaluate_engine oracle (round 3)
+REC_SIM_SCALE = 1_000_000
+
+COUNTER_COLS = ["gt_care", "det_care", "matched", "rec_exact", "rec_sim_u", "rec_n"]
+
+
+def media_eval_counters(
+    engine: OcrEngine, gray: np.ndarray, gt_regions: list[dict]
+) -> tuple[int, int, int, int, int, int]:
+    """One image -> (gt_care, det_care, matched, rec_exact, rec_sim_u,
+    rec_n) integer counters.  Pure per-image kernel shared by the Ray
+    actor stage and the single-process oracle (oracle/metrics.py) so both
+    sides sum the exact same integers."""
+    results = engine.ocr_image(gray)
+    # the det stage emits unclip-expanded boxes BY CONSTRUCTION
+    # (db_postprocess unclip, ratio 1.5); inflate the tight GT quads
+    # identically so IoU measures localization, not the known margin
+    from ..functions.geometry import unclip
+
+    gt_polys = [
+        unclip(
+            np.asarray(r["box"], np.float64).reshape(4, 2),
+            engine.cfg.unclip_ratio,
+        )
+        for r in gt_regions
+    ]
+    det_polys = [b.astype(np.float64) for b, _t, _p in results]
+    g, d, m = det_counters(gt_polys, [False] * len(gt_polys), det_polys)
+    # rec accuracy over IoU-MATCHED (gt, det) pairs — positional zip()
+    # silently mis-scores every pair after a missed/extra/reordered
+    # detection; unmatched GT counts as a rec failure
+    ex = sim_u = n = 0
+    match = dict(det_match_pairs(gt_polys, det_polys))
+    for gi, r in enumerate(gt_regions):
+        if gi in match:
+            e, s, c = rec_counters(results[match[gi]][1], r["text"])
+        else:
+            e, s, c = 0, 0.0, 1
+        ex += e
+        sim_u += int(np.floor(s * REC_SIM_SCALE + 0.5))
+        n += c
+    return g, d, m, ex, sim_u, n
+
+
+def combine_counter_sums(sums: dict[str, int]) -> dict[str, float]:
+    """Final counters -> metrics; the EXACT expression shared by engine and
+    oracle (float division associativity must match for hash equality)."""
+    det, gt, m = sums["det_care"], sums["gt_care"], sums["matched"]
+    precision = m / det if det else 0.0
+    recall = m / gt if gt else 0.0
+    hmean = (
+        2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    )
+    n = sums["rec_n"]
+    return {
+        "precision": precision,
+        "recall": recall,
+        "hmean": hmean,
+        "acc": (sums["rec_exact"] / n) if n else 0.0,
+        "norm_edit_sim": (sums["rec_sim_u"] / REC_SIM_SCALE / n) if n else 0.0,
+    }
 
 
 class _EvalStage:
@@ -37,56 +101,17 @@ class _EvalStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
         datas = batch["data"].to_pylist()
-        rows = {
-            "gt_care": [],
-            "det_care": [],
-            "matched": [],
-            "rec_exact": [],
-            "rec_sim": [],
-            "rec_n": [],
-        }
+        rows: dict[str, list[int]] = {c: [] for c in COUNTER_COLS}
         for ref, data in zip(refs, datas):
             gt_regions = self.gt.get(ref)
             gray = decode_gray(data) if data is not None else None
             if gray is None or gt_regions is None:
                 continue
-            results = self.engine.ocr_image(gray)
-            # the det stage emits unclip-expanded boxes BY CONSTRUCTION
-            # (db_postprocess unclip, ratio 1.5); inflate the tight GT quads
-            # identically so IoU measures localization, not the known margin
-            from ..functions.geometry import unclip
-
-            gt_polys = [
-                unclip(
-                    np.asarray(r["box"], np.float64).reshape(4, 2),
-                    self.engine.cfg.unclip_ratio,
-                )
-                for r in gt_regions
-            ]
-            det_polys = [b.astype(np.float64) for b, _t, _p in results]
-            g, d, m = det_counters(gt_polys, [False] * len(gt_polys), det_polys)
-            # rec accuracy over IoU-MATCHED (gt, det) pairs — positional
-            # zip() silently mis-scores every pair after a missed/extra/
-            # reordered detection; unmatched GT counts as a rec failure
-            ex = sim = n = 0.0
-            match = dict(det_match_pairs(gt_polys, det_polys))
-            for gi, r in enumerate(gt_regions):
-                if gi in match:
-                    e, s, c = rec_counters(results[match[gi]][1], r["text"])
-                else:
-                    e, s, c = 0, 0.0, 1
-                ex += e
-                sim += s
-                n += c
-            rows["gt_care"].append(g)
-            rows["det_care"].append(d)
-            rows["matched"].append(m)
-            rows["rec_exact"].append(ex)
-            rows["rec_sim"].append(sim)
-            rows["rec_n"].append(n)
-        return pa.table(
-            {k: pa.array(v, pa.float64()) for k, v in rows.items()}
-        )
+            for col, v in zip(
+                COUNTER_COLS, media_eval_counters(self.engine, gray, gt_regions)
+            ):
+                rows[col].append(v)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
 
 
 def evaluate_corpus(
@@ -120,13 +145,9 @@ def evaluate_corpus(
     )
     from ray.data.aggregate import Sum
 
-    cols = ["gt_care", "det_care", "matched", "rec_exact", "rec_sim", "rec_n"]
     # ONE global aggregate pass for all six counters (per-column .sum()
-    # would re-execute the whole pipeline per counter)
-    agg = counters.aggregate(*[Sum(c, alias_name=c) for c in cols])
-    sums = {c: float(agg[c]) for c in cols}
-    det = combine_det_counters(
-        [(sums["gt_care"], sums["det_care"], sums["matched"])]
-    )
-    rec = combine_rec_counters([(sums["rec_exact"], sums["rec_sim"], sums["rec_n"])])
-    return {**det, **rec}
+    # would re-execute the whole pipeline per counter); integer sums are
+    # exact, so the result is bit-identical to the serial oracle
+    agg = counters.aggregate(*[Sum(c, alias_name=c) for c in COUNTER_COLS])
+    sums = {c: int(agg[c] or 0) for c in COUNTER_COLS}
+    return combine_counter_sums(sums)

