@@ -109,29 +109,32 @@ def run_bench() -> dict:
     timings["extract"] = min(timings["extract_run1"], timings["extract_run2"])
 
     # alternate physical plans (quarter corpus: these exist for topology
-    # coverage — split det/rec pools and the shuffle-join media plan)
+    # coverage — split det/rec pools and the shuffle-join media plan).
+    # Same min-of-2 methodology as the headline: each plan spins up fresh
+    # actor pools, and the ramp share of a quarter-corpus run is exactly
+    # the builder-vs-driver split-plan spread VERDICT r2 #5 flagged.
     alt_n = max(200, n_docs // 4)
     alt_corpus = generate_corpus_ray(
         corpus_path(alt_n, 42), n_docs=alt_n, seed=42
     )
-    timed(
-        "extract_split",
-        lambda: extract_dataset(
-            os.path.join(alt_corpus, "documents"),
-            os.path.join(alt_corpus, "media"),
-            fused=False,
-        ).write_parquet(out_dir + "_split"),
-    )
-    shutil.rmtree(out_dir + "_split", ignore_errors=True)
-    timed(
-        "extract_join",
-        lambda: extract_dataset(
-            os.path.join(alt_corpus, "documents"),
-            os.path.join(alt_corpus, "media"),
-            media_mode="join",
-        ).write_parquet(out_dir + "_join"),
-    )
-    shutil.rmtree(out_dir + "_join", ignore_errors=True)
+
+    def run_alt(name: str, **kw) -> None:
+        def once():
+            extract_dataset(
+                os.path.join(alt_corpus, "documents"),
+                os.path.join(alt_corpus, "media"),
+                **kw,
+            ).write_parquet(out_dir + "_" + name)
+            shutil.rmtree(out_dir + "_" + name, ignore_errors=True)
+
+        timed(f"{name}_run1", once)
+        timed(f"{name}_run2", once)
+        timings[f"extract_{name}"] = min(
+            timings.pop(f"{name}_run1"), timings.pop(f"{name}_run2")
+        )
+
+    run_alt("split", fused=False)
+    run_alt("join", media_mode="join")
     timed("q1_pricing", lambda: relational.q1_pricing(SF_DIR).to_pandas())
     timed("dedup_exact", lambda: dedup_exact_count(dedup, SF_DIR))
     timed("minhash_pairs", lambda: dedup.minhash_pairs(SF_DIR).count())

