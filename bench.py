@@ -10,10 +10,15 @@ prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ...}
 
-``--scaling`` re-runs the harness in two fresh subprocesses (num_cpus=8 and
-32) on the same input and reports throughput at both plus scaling
-efficiency = (t_8 / t_32) / (32 / 8); it also refreshes the measured-results
-section in BASELINE.md.
+``--scaling`` re-runs the harness in fresh subprocesses (num_cpus=8 and 32)
+on the same input and reports throughput at both plus scaling efficiency
+= (t_8 / t_32) / (32 / 8).  The efficiency is the MEDIAN of three
+independent 8/32 pairs (round 3: four same-code round-2 runs spread
+0.66-0.925 from host noise — a single pair is not a reproducible
+measurement).  Pair 1 runs the full harness (its per-query tables land in
+BASELINE.md); pairs 2-3 set BENCH_EXTRACT_ONLY=1, which skips the
+alternate plans and ops queries so a repeat pair only pays the headline
+extract.  It also refreshes the measured-results section in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -108,6 +113,20 @@ def run_bench() -> dict:
     timed("extract_run2", run_extract)
     timings["extract"] = min(timings["extract_run1"], timings["extract_run2"])
 
+    if os.environ.get("BENCH_EXTRACT_ONLY"):
+        extract_sec = timings["extract"]
+        ray.shutdown()
+        return {
+            "metric": "e2e_extract_sec",
+            "value": extract_sec,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / extract_sec, 2),
+        }
+
     # alternate physical plans (quarter corpus: these exist for topology
     # coverage — split det/rec pools and the shuffle-join media plan).
     # Same min-of-2 methodology as the headline: each plan spins up fresh
@@ -165,9 +184,16 @@ def dedup_exact_count(dedup, sf_dir):
     return dedup.dedup_exact(sf_dir).count()
 
 
+SCALING_PAIRS = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+
+
 def run_scaling() -> dict:
-    def run_once(ncpu: int) -> dict:
+    def run_once(ncpu: int, extract_only: bool) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if extract_only:
+            env["BENCH_EXTRACT_ONLY"] = "1"
+        else:
+            env.pop("BENCH_EXTRACT_ONLY", None)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -179,26 +205,30 @@ def run_scaling() -> dict:
         time.sleep(5)  # let raylet teardown finish before the next session
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # one subprocess per level: run_bench itself warms up and reports
-        # min-of-2 extract runs, so the outer repeat is no longer needed
-        return run_once(ncpu)
-
     lo_cpus, hi_cpus = 8, 32
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
-    t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    # each pair is (lo, hi) back-to-back in fresh processes so both levels
+    # see the same host conditions; only pair 1 pays the full query sweep
+    pairs = []
+    for i in range(SCALING_PAIRS):
+        lo = run_once(lo_cpus, extract_only=i > 0)
+        hi = run_once(hi_cpus, extract_only=i > 0)
+        eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+        pairs.append({"lo": lo, "hi": hi, "eff": round(eff, 3)})
+    effs = sorted(p["eff"] for p in pairs)
+    median = effs[len(effs) // 2]
+    med_pair = next(p for p in pairs if p["eff"] == median)
+    lo, hi = pairs[0]["lo"], pairs[0]["hi"]  # full-harness pair (queries)
     res = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": median,
         "unit": "ratio",
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
+        "pair_efficiencies": [p["eff"] for p in pairs],
+        "sec_lo": med_pair["lo"]["value"],
+        "sec_hi": med_pair["hi"]["value"],
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
-        "docs_per_sec_lo": lo["docs_per_sec"],
-        "docs_per_sec_hi": hi["docs_per_sec"],
+        "docs_per_sec_lo": med_pair["lo"]["docs_per_sec"],
+        "docs_per_sec_hi": med_pair["hi"]["docs_per_sec"],
         "n_docs": hi["n_docs"],
         "sf": SF_DIR,
     }
@@ -214,9 +244,9 @@ def _update_baseline_md(res: dict, lo: dict, hi: dict) -> None:
 | metric | value |
 |---|---|
 | corpus | {res['n_docs']} interleaved docs (seed 42) from {res['sf']} |
-| extract sec @ {res['cpus_lo']} cpus | {res['sec_lo']} ({res['docs_per_sec_lo']} docs/s) |
-| extract sec @ {res['cpus_hi']} cpus | {res['sec_hi']} ({res['docs_per_sec_hi']} docs/s) |
-| scaling efficiency ({res['cpus_lo']}->{res['cpus_hi']}) | {res['value']} |
+| extract sec @ {res['cpus_lo']} cpus (median pair) | {res['sec_lo']} ({res['docs_per_sec_lo']} docs/s) |
+| extract sec @ {res['cpus_hi']} cpus (median pair) | {res['sec_hi']} ({res['docs_per_sec_hi']} docs/s) |
+| scaling efficiency ({res['cpus_lo']}->{res['cpus_hi']}), median of {len(res['pair_efficiencies'])} pairs | {res['value']} (pairs: {res['pair_efficiencies']}) |
 
 Per-query seconds @ {res['cpus_hi']} cpus: `{json.dumps(hi['queries'])}`
 Per-query seconds @ {res['cpus_lo']} cpus: `{json.dumps(lo['queries'])}`

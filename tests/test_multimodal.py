@@ -61,6 +61,136 @@ def test_stub_decoder_raises_on_empty_payload():
         fake_video_decode(b"", 10, 8, 8)
 
 
+def _make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _make_y4m(frames: np.ndarray, fps=(25, 1)) -> bytes:
+    """Real YUV4MPEG2 C420 bytes: Y planes = ``frames``, flat chroma."""
+    n, h, w = frames.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * (h * w // 2)
+    out = [hdr]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def test_real_audio_decode_wav_roundtrip():
+    from pytorchocr_ray.stages.multimodal import real_audio_decode
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, size=3000, dtype=np.int64)
+    data = _make_wav(samples, rate=16000)
+    out = real_audio_decode(data, 3000, 16000)
+    np.testing.assert_array_equal(out, samples.astype(np.int32))
+    with pytest.raises(ValueError, match="metadata mismatch"):
+        real_audio_decode(data, 2999, 16000)
+    with pytest.raises(NotImplementedError):
+        real_audio_decode(b"\x00not audio\x00" * 4, 100, 16000)
+
+
+def test_real_video_decode_y4m_roundtrip():
+    from pytorchocr_ray.stages.multimodal import real_video_decode, y4m_decode
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, size=(7, 6, 8), dtype=np.int64).astype(np.uint8)
+    data = _make_y4m(frames)
+    got, n, fps = y4m_decode(data)
+    np.testing.assert_array_equal(got, frames)
+    assert n == 7 and fps == 25.0
+    np.testing.assert_array_equal(real_video_decode(data, 7, 6, 8), frames)
+    with pytest.raises(ValueError, match="metadata mismatch"):
+        real_video_decode(data, 7, 8, 6)
+    with pytest.raises(NotImplementedError):
+        real_video_decode(b"\x89PNG not video", 1, 6, 8)
+
+
+def test_audio_feature_stage_on_real_wav(ray_session):
+    """The actor-pool stage consumes REAL PCM WAV payloads end-to-end via
+    the decoder injection point; features match a direct numpy computation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pytorchocr_ray.stages.multimodal import (
+        AUDIO_WINDOW,
+        AUDIO_HOP,
+        ENERGY_SCALE,
+        audio_features,
+        real_audio_decode,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(4):
+        n = int(rng.integers(AUDIO_WINDOW, 4 * AUDIO_WINDOW))
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+        rows.append((f"wav-{i}", _make_wav(s), 8000, n, s))
+    t = pa.table(
+        {
+            "sample_ref": [r[0] for r in rows],
+            "data": pa.array([r[1] for r in rows], pa.binary()),
+            "sample_rate": pa.array([r[2] for r in rows], pa.int32()),
+            "n_samples": pa.array([r[3] for r in rows], pa.int32()),
+        }
+    )
+    out = (
+        audio_features(rd.from_arrow(t), concurrency=2, decoder=real_audio_decode)
+        .to_pandas()
+        .set_index(["sample_ref", "window_idx"])
+        .sort_index()
+    )
+    for ref, _data, _sr, n, s in rows:
+        n_win = 1 + (n - AUDIO_WINDOW) // AUDIO_HOP
+        for k in range(n_win):
+            win = s[k * AUDIO_HOP : k * AUDIO_HOP + AUDIO_WINDOW]
+            assert out.loc[(ref, k), "energy"] == (win * win).sum() / ENERGY_SCALE
+            neg = win < 0
+            assert out.loc[(ref, k), "zcr"] == (neg[1:] != neg[:-1]).sum() / AUDIO_WINDOW
+
+
+def test_video_stage_on_real_y4m(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pytorchocr_ray.stages.multimodal import real_video_decode, video_frame_samples
+
+    rng = np.random.default_rng(10)
+    frames = rng.integers(0, 256, size=(11, 4, 5), dtype=np.int64).astype(np.uint8)
+    t = pa.table(
+        {
+            "frame_ref": ["vid-0"],
+            "data": pa.array([_make_y4m(frames)], pa.binary()),
+            "width": pa.array([5], pa.int32()),
+            "height": pa.array([4], pa.int32()),
+            "n_frames": pa.array([11], pa.int32()),
+        }
+    )
+    out = (
+        video_frame_samples(
+            rd.from_arrow(t), concurrency=1, every_k=5, decoder=real_video_decode
+        )
+        .to_pandas()
+        .sort_values("frame_idx")
+    )
+    assert out["frame_idx"].tolist() == [0, 5, 10]
+    np.testing.assert_allclose(
+        out["mean_luma"].to_numpy(),
+        frames[[0, 5, 10]].astype(np.int64).sum(axis=(1, 2)) / 20.0,
+    )
+
+
 def test_label_encode_and_structure_decode():
     import numpy as np
 
