@@ -136,6 +136,18 @@ def _table_structure(sf_dir: str) -> Any:
     return table_structure_ds(_pubtab_fixture(sf_dir), concurrency=pool_size(4))
 
 
+def _table_structure_image(sf_dir: str) -> Any:
+    import os
+
+    from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.pipelines.table import table_structure_from_images
+
+    images = os.path.join(
+        os.path.dirname(_pubtab_fixture(sf_dir)), "table_images.parquet"
+    )
+    return table_structure_from_images(images, concurrency=pool_size(4))
+
+
 def _evaluate_engine(sf_dir: str) -> Any:
     import pandas as pd
 
@@ -175,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evaluate_engine": _evaluate_engine,
         # table branch: pubtab JSONL -> structure decode + bbox denorm
         "table_structure": _table_structure,
+        # image-driven table branch: rendered PNG -> cell detection ->
+        # structure reconstruction -> same decode path
+        "table_structure_image": _table_structure_image,
         # relational coverage
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
@@ -240,6 +255,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "table_structure": (
             "SELECT filename, structure, n_cells, bbox_sum "
             f"FROM read_parquet('{pubtab_expected}')"
+        ),
+        # image branch oracle: generator-knowledge expected table over the
+        # RENDERED (span-aware) rects — the engine must detect them back
+        # from pixels and reproduce it exactly
+        "table_structure_image": (
+            "SELECT filename, structure, n_cells, bbox_sum "
+            f"FROM read_parquet('{pubtab_expected.replace('expected.parquet', 'expected_image.parquet')}')"
         ),
         "normalize_docs": textstats.NORMALIZE_DOCS_SQL,
         "fingerprint": textstats.fingerprint_sql(),

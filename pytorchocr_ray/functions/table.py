@@ -150,3 +150,71 @@ def table_structure_counters(
 def combine_table_counters(counters) -> dict[str, float]:
     n = sum(c[1] for c in counters)
     return {"acc": (sum(c[0] for c in counters) / n) if n else 0.0}
+
+
+# ------------------------------------------------- image-driven branch (r3)
+#
+# The reference's table branch starts from a table IMAGE
+# (pytocr/data/pubtab_dataset.py:12-113 feeds a structure model). The model
+# itself is sanctioned out of scope, so this is the cell-DETECTION analog:
+# binarize the rendered page (the same role as DBNet's probability map) and
+# recover each cell outline as an 8-connected component via the detection
+# post-processor's union-find labeller (functions/dbpost.py:131) — then
+# reconstruct the token sequence from cell geometry.
+
+
+def detect_cell_rects(img: np.ndarray, thresh: int = 128) -> np.ndarray:
+    """Grayscale table image -> (N, 4) int64 cell rects [x1, y1, x2, y2]
+    in reading order (top-to-bottom, left-to-right by rect origin).
+
+    Each cell outline must be its own component (the synth renderer keeps a
+    4-px gutter between rects); the component's run-endpoint bbox is then
+    exactly the drawn rectangle."""
+    from .dbpost import connected_components
+
+    comps = connected_components(img < thresh)
+    if not comps:
+        return np.zeros((0, 4), dtype=np.int64)
+    rects = np.array(
+        [
+            [pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()]
+            for pts in comps
+        ],
+        dtype=np.int64,
+    )
+    return rects[np.lexsort((rects[:, 0], rects[:, 1]))]
+
+
+def structure_from_cell_rects(rects: np.ndarray) -> list[str]:
+    """Detected cell rects -> PubTabNet structure tokens.
+
+    Grid assumptions (documented, matching the synth layout): rows share an
+    exact top edge y1; the base column width is the narrowest cell's
+    ``x2 - x1 + 4`` (gutter-inclusive pitch); a cell spanning ~k columns
+    emits ``<td colspan="k">``. The first row band is ``<thead>``, the rest
+    ``<tbody>`` — the PubTabNet convention the synth fixture follows."""
+    tokens = ["<html>", "<body>", "<table>"]
+    if len(rects):
+        pitch = int((rects[:, 2] - rects[:, 0] + 4).min())
+        row_tops = np.unique(rects[:, 1])
+        for band, y1 in enumerate(row_tops):
+            row = rects[rects[:, 1] == y1]
+            if band == 0:
+                tokens.append("<thead>")
+            if band == 1:
+                tokens.append("<tbody>")
+            tokens.append("<tr>")
+            for x1, _y1, x2, _y2 in row[np.argsort(row[:, 0])]:
+                k = int(round((x2 - x1 + 4) / pitch))
+                if k > 1:
+                    tokens.extend(["<td", f' colspan="{k}"', ">", "</td>"])
+                else:
+                    tokens.extend(["<td>", "</td>"])
+            tokens.append("</tr>")
+            if band == 0:
+                tokens.append("</thead>")
+        if len(row_tops) == 1:
+            tokens.append("<tbody>")
+        tokens.append("</tbody>")
+    tokens.extend(["</table>", "</body>", "</html>"])
+    return tokens

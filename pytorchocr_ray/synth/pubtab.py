@@ -23,13 +23,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _sample(rng: np.random.Generator) -> tuple[list[str], list[list[int]], int, int]:
+def _sample(
+    rng: np.random.Generator,
+) -> tuple[list[str], list[list[int]], list[list[int]], int, int]:
     rows = int(rng.integers(1, 4))
     cols = int(rng.integers(1, 5))
     src_h = int(rng.integers(150, 600))
     src_w = int(rng.integers(150, 600))
     tokens: list[str] = ["<html>", "<body>", "<table>"]
     cells: list[list[int]] = []
+    # the label bboxes above mirror the reference pubtab quirk (colspan cells
+    # keep a single-column bbox); ``rects`` are the RENDERED cell rectangles
+    # (span-aware width) the image branch draws and must detect back
+    rects: list[list[int]] = []
     cw, ch = src_w // (cols + 1), src_h // (rows + 1)
 
     def cell(r: int, c: int, span2: bool) -> None:
@@ -39,6 +45,7 @@ def _sample(rng: np.random.Generator) -> tuple[list[str], list[list[int]], int, 
             tokens.extend(["<td>", "</td>"])
         x1, y1 = c * cw + 2, r * ch + 2
         cells.append([x1, y1, x1 + cw - 4, y1 + ch - 4])
+        rects.append([x1, y1, x1 + (2 * cw if span2 else cw) - 4, y1 + ch - 4])
 
     tokens.extend(["<thead>", "<tr>"])
     for c in range(cols):
@@ -53,7 +60,24 @@ def _sample(rng: np.random.Generator) -> tuple[list[str], list[list[int]], int, 
             c += 2 if span2 else 1
         tokens.append("</tr>")
     tokens.extend(["</tbody>", "</table>", "</body>", "</html>"])
-    return tokens, cells, src_h, src_w
+    return tokens, cells, rects, src_h, src_w
+
+
+def render_table_png(rects: list[list[int]], src_h: int, src_w: int) -> bytes:
+    """Rasterize a table sample: 1-px black cell outlines on white, PNG.
+
+    The generator's grid leaves a 4-px gutter between adjacent rects, so
+    every outline is its own 8-connected component and its component bbox
+    IS the drawn rect — detection can be exact."""
+    from ..functions.png import encode_gray
+
+    img = np.full((src_h, src_w), 255, dtype=np.uint8)
+    for x1, y1, x2, y2 in rects:
+        img[y1, x1 : x2 + 1] = 0
+        img[y2, x1 : x2 + 1] = 0
+        img[y1 : y2 + 1, x1] = 0
+        img[y1 : y2 + 1, x2] = 0
+    return encode_gray(img)
 
 
 def synth_pubtab(out_dir: str, n: int, seed: int = 21) -> str:
@@ -71,10 +95,11 @@ def synth_pubtab(out_dir: str, n: int, seed: int = 21) -> str:
     os.makedirs(out_dir, exist_ok=True)
     dec = TableLabelDecode()
     names, structs, ncells, bsums = [], [], [], []
+    img_bytes, img_h, img_w, img_bsums = [], [], [], []
     with open(os.path.join(out_dir, "table_labels.jsonl"), "w") as f:
         for i in range(n):
             rng = np.random.default_rng((seed << 20) + i)
-            tokens, cells, src_h, src_w = _sample(rng)
+            tokens, cells, rects, src_h, src_w = _sample(rng)
             name = f"tab-{i:06d}.png"
             f.write(
                 json.dumps(
@@ -109,6 +134,41 @@ def synth_pubtab(out_dir: str, n: int, seed: int = 21) -> str:
             structs.append("".join(tokens))
             ncells.append(len(cells))
             bsums.append(bsum)
+            # image branch: rendered PNG + its own expected bbox_sum (the
+            # span-aware rects go through the SAME normalize->denormalize
+            # round trip the decode path applies)
+            img_bytes.append(render_table_png(rects, src_h, src_w))
+            img_h.append(src_h)
+            img_w.append(src_w)
+            rnorm = table_bbox_encode(np.asarray(rects), shape, width=4)
+            rden = rnorm.copy()
+            rden[:, 0::2] *= shape[5]
+            rden[:, 1::2] *= shape[4]
+            rden[:, 0::2] /= shape[3]
+            rden[:, 1::2] /= shape[2]
+            img_bsums.append(int(np.floor(rden + 0.5).sum()))
+    pq.write_table(
+        pa.table(
+            {
+                "filename": pa.array(names, pa.string()),
+                "data": pa.array(img_bytes, pa.binary()),
+                "imgh": pa.array(img_h, pa.int32()),
+                "imgw": pa.array(img_w, pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "table_images.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "filename": pa.array(names, pa.string()),
+                "structure": pa.array(structs, pa.string()),
+                "n_cells": pa.array(ncells, pa.int64()),
+                "bbox_sum": pa.array(img_bsums, pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "expected_image.parquet"),
+    )
     pq.write_table(
         pa.table(
             {

@@ -107,3 +107,69 @@ def test_pubtab_reader_drops_malformed(ray_session, tmp_path):
     df = read_pubtab_jsonl(str(p)).to_pandas()
     assert list(df["img_path"]) == ["a.png"]
     assert list(df["cell_bboxes"][0]) == [1, 2, 3, 4]
+
+
+def test_detect_cell_rects_exact_and_colspan():
+    """Rendered outlines come back as exact integer rects; colspan cells
+    reconstruct the span token; corrupt payloads are dropped."""
+    import numpy as np
+
+    from pytorchocr_ray.functions.png import decode_gray
+    from pytorchocr_ray.functions.table import (
+        detect_cell_rects,
+        structure_from_cell_rects,
+    )
+    from pytorchocr_ray.synth.pubtab import render_table_png
+
+    # 2 rows: thead of 2 cells (pitch 50), tbody one colspan-2 cell
+    rects = [[2, 2, 48, 38], [52, 2, 98, 38], [2, 42, 98, 78]]
+    img = decode_gray(render_table_png(rects, 90, 110))
+    det = detect_cell_rects(img)
+    np.testing.assert_array_equal(det, np.asarray(rects))
+    assert structure_from_cell_rects(det) == [
+        "<html>", "<body>", "<table>",
+        "<thead>", "<tr>", "<td>", "</td>", "<td>", "</td>", "</tr>", "</thead>",
+        "<tbody>", "<tr>", "<td", ' colspan="2"', ">", "</td>", "</tr>",
+        "</tbody>", "</table>", "</body>", "</html>",
+    ]
+    # zero cells -> empty table skeleton
+    assert structure_from_cell_rects(np.zeros((0, 4), dtype=np.int64)) == [
+        "<html>", "<body>", "<table>", "</table>", "</body>", "</html>",
+    ]
+
+
+def test_table_image_pipeline_matches_expected(ray_session, tmp_path):
+    """End-to-end image branch: PNG -> detection -> reconstruction ->
+    decode equals the generator's expected_image table; an undecodable
+    payload is dropped (not crashed on)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pytorchocr_ray.pipelines.table import table_structure_from_images
+    from pytorchocr_ray.synth.pubtab import synth_pubtab
+
+    d = synth_pubtab(str(tmp_path / "pubtab"), n=25, seed=5)
+    images = os.path.join(d, "table_images.parquet")
+    # corrupt one payload in a copy
+    t = pq.read_table(images).to_pandas()
+    t.loc[0, "data"] = b"\x89PNG garbage"
+    corrupted = str(tmp_path / "images_corrupt.parquet")
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), corrupted)
+
+    out = (
+        table_structure_from_images(corrupted, concurrency=2)
+        .to_pandas()
+        .sort_values("filename")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pq.read_table(os.path.join(d, "expected_image.parquet"))
+        .to_pandas()
+        .sort_values("filename")
+        .reset_index(drop=True)
+    )
+    dropped = t.loc[0, "filename"]
+    assert dropped not in set(out["filename"])
+    exp = exp[exp["filename"] != dropped].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
