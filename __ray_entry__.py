@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # connected components over the minhash dup graph -> one
+        # (doc_id, cluster_id) row per document
+        "dedup_clusters": dedup.dedup_clusters,
         # similarity search
         "simsearch_topk": simsearch.topk_bruteforce,
         "simsearch_ivf": simsearch.topk_ivf,
@@ -273,6 +276,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "simhash_pairs": dedup.simhash_pairs_sql(),
         "embedding_neardup": dedup.embedding_neardup_sql(sf_dir=sf_dir),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
         "simsearch_topk": simsearch.topk_bruteforce_sql(),
         "simsearch_ivf": simsearch.topk_ivf_sql(),
         "q1_pricing": relational.Q1_SQL,

@@ -983,3 +983,172 @@ FROM b x JOIN b y
 WHERE list_dot_product(x.qd, y.qd) / (sqrt(x.nsq) * sqrt(y.nsq))
       >= {threshold}
 """
+
+
+# ------------------------------------------------- near-dup clusters (r3)
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, max_rounds: int = 50):
+    """Near-duplicate CLUSTERS: connected components over the
+    :func:`minhash_pairs` dup graph -> one (doc_id, cluster_id) row per
+    document, cluster_id = the smallest doc_id in its component
+    (singletons cluster with themselves).
+
+    Distributed shape: iterative min-label propagation.  Each round
+    unions the symmetrized edge list with the current label table and
+    resolves both shuffles through the same salted-groupby
+    co-partitioning the Jaccard verify uses (no join operators, no
+    driver-side edge materialization); per-node minima ride Ray's
+    vectorized Min aggregate.  Round count = dup-graph diameter (near-dup
+    clusters are shallow; ``max_rounds`` fails loud on pathological
+    graphs).  The final singleton fill-in broadcasts the label dict via
+    ``ray.put`` — nodes-in-dup-graph << corpus for real near-dup rates; a
+    dup-heavy corpus should swap the broadcast for the hash-partitioned
+    join plan."""
+    import ray
+
+    from . import read
+
+    pairs = minhash_pairs(sf_dir, threshold=threshold)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["doc_b"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    # edges are re-read every propagation round: pin them (bounded, 2x pairs)
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
+        m = np.asarray(batch["min(v)"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {"node": pa.array(u), "label": pa.array(np.minimum(u, m))}
+        )
+
+    labels = (
+        edges.groupby("u")
+        .min("v")
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    n_nodes = labels.count()
+    if n_nodes:
+        prev_sum = labels.sum("label")
+        for _round in range(max_rounds):
+
+            def edge_rows(batch: pa.Table) -> pa.Table:
+                u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
+                return pa.table(
+                    {
+                        "key": batch["u"],
+                        "v": batch["v"],
+                        "label": pa.array(np.full(len(u), -1, dtype=np.int64)),
+                        "salt": pa.array((u % _VERIFY_SALTS).astype(np.int32)),
+                    }
+                )
+
+            def label_rows(batch: pa.Table) -> pa.Table:
+                node = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
+                return pa.table(
+                    {
+                        "key": batch["node"],
+                        "v": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                        "label": batch["label"],
+                        "salt": pa.array((node % _VERIFY_SALTS).astype(np.int32)),
+                    }
+                )
+
+            def propagate(group: pd.DataFrame) -> pd.DataFrame:
+                """One salt partition: attach each node's label to its
+                outgoing edges (vectorized merge), emit (neighbor, label)
+                messages plus the node's own (node, label) keep-row."""
+                lab = group[group["v"] < 0][["key", "label"]]
+                edg = group[group["v"] >= 0][["key", "v"]]
+                m = edg.merge(lab, on="key", how="inner")
+                return pd.DataFrame(
+                    {
+                        "node": np.concatenate(
+                            [m["v"].to_numpy(), lab["key"].to_numpy()]
+                        ),
+                        "label": np.concatenate(
+                            [m["label"].to_numpy(), lab["label"].to_numpy()]
+                        ),
+                    }
+                )
+
+            msgs = (
+                edges.map_batches(edge_rows, batch_format="pyarrow")
+                .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+                .groupby("salt")
+                .map_groups(propagate, batch_format="pandas")
+            )
+
+            def finish_min(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"node": batch["node"], "label": batch["min(label)"]}
+                )
+
+            labels = (
+                msgs.groupby("node")
+                .min("label")
+                .map_batches(finish_min, batch_format="pyarrow")
+                .materialize()
+            )
+            cur_sum = labels.sum("label")
+            if cur_sum == prev_sum:  # per-node labels only decrease
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_rounds} rounds"
+            )
+
+    # singleton fill-in: broadcast the (small) dup-graph label table once,
+    # as a sorted-key numpy pair so per-batch assignment is a vectorized
+    # searchsorted, not a per-row dict loop
+    lab_df = labels.to_pandas().sort_values("node")
+    lab_ref = ray.put(
+        (lab_df["node"].to_numpy(np.int64), lab_df["label"].to_numpy(np.int64))
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        nodes, labs = ray.get(lab_ref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        idx = np.searchsorted(nodes, ids).clip(max=max(len(nodes) - 1, 0))
+        out = ids.copy()
+        if len(nodes):
+            hit = nodes[idx] == ids
+            out[hit] = labs[idx[hit]]
+        return pa.table(
+            {"doc_id": pa.array(ids), "cluster_id": pa.array(out)}
+        )
+
+    return read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin: the same minhash pair graph, component minima via a
+    recursive reachability CTE, singletons filled from ``documents``."""
+    pairs_sql = minhash_pairs_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach (node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id AS doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+"""

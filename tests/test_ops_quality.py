@@ -177,3 +177,80 @@ def test_simhash_bucket_sizes_bounded_on_skewed_corpus():
     # boilerplate head biases some majority bits, so keys are not uniform;
     # under the old 8-bit keys the same corpus piled >30% into one bucket)
     assert worst <= len(texts) * 0.05, worst
+
+
+def test_dedup_clusters_groups_neardups(ray_session, crafted_dir):
+    """Connected components over the minhash graph: each planted near-dup
+    / exact-dup lands in its source doc's cluster; everything else is a
+    singleton."""
+    from pytorchocr_ray.ops.dedup import dedup_clusters
+
+    out = (
+        dedup_clusters(crafted_dir)
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert len(out) == 47
+    for src, dup in [(0, 40), (1, 41), (2, 42), (3, 43), (4, 44), (10, 45), (11, 46)]:
+        assert out[dup] == out[src] == src
+    singles = [i for i in range(5, 40) if i not in (10, 11)]
+    for i in singles:
+        assert out[i] == i
+
+
+def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
+    """A ~ B and B ~ C but A !~ C must still form ONE cluster — requires
+    label propagation beyond a single round."""
+    import duckdb
+
+    from pytorchocr_ray.ops.dedup import dedup_clusters, dedup_clusters_sql
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(300)]
+    base = list(rng.choice(vocab, 80))
+    chain = [list(base)]
+    # each link replaces a different 10-token slice: adjacent links keep
+    # shingle-Jaccard ~0.75 (found by LSH — verified: this seed yields
+    # exactly the chain links (0,1),(1,2),(2,3)), while the chain ends
+    # drop below the 0.5 threshold — only transitivity connects them
+    for k in range(1, 4):
+        lo = (k - 1) * 14
+        repl = list(rng.choice(vocab, 10))
+        chain.append(chain[k - 1][:lo] + repl + chain[k - 1][lo + 10 :])
+    texts = [" ".join(c) for c in chain] + [
+        " ".join(rng.choice(vocab, 80)) for _ in range(6)
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = (
+        dedup_clusters(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # chain members all collapse to cluster 0
+    assert set(out.loc[out["doc_id"] < 4, "cluster_id"]) == {0}
+    # SQL twin agrees exactly
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(dedup_clusters_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
