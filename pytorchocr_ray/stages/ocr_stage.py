@@ -73,10 +73,17 @@ class ShardedMediaStore:
     is the 100 TB-safe path; the broadcast dict remains for small sidecars.
     """
 
-    def __init__(self, media_dir: str, shard_size: int, cache_shards: int = 4):
+    def __init__(
+        self,
+        media_dir: str,
+        shard_size: int,
+        cache_shards: int = 4,
+        value_col: str = "data",
+    ):
         self.dir = media_dir
         self.shard_size = shard_size
         self.cache_shards = cache_shards
+        self.value_col = value_col  # "data" for payloads, "regions" for GT
         self._cache: "dict[str, dict[str, bytes]]" = {}
         self._order: list[str] = []
 
@@ -95,8 +102,8 @@ class ShardedMediaStore:
         if d is None:
             if not os.path.exists(path):
                 return None
-            t = pq.read_table(path, columns=["media_ref", "data"])
-            d = dict(zip(t["media_ref"].to_pylist(), t["data"].to_pylist()))
+            t = pq.read_table(path, columns=["media_ref", self.value_col])
+            d = dict(zip(t["media_ref"].to_pylist(), t[self.value_col].to_pylist()))
             self._cache[path] = d
             self._order.append(path)
             while len(self._order) > self.cache_shards:
