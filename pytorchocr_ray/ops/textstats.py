@@ -50,9 +50,16 @@ NORMALIZE_DOCS_SQL = (
 )
 
 
+PUNCT_RE = "[.,;:!?]"
+# a page of solid punctuation is boilerplate/noise: cap the punct share at
+# 1 mark per 2 tokens (integer form below keeps the SQL twin exact)
+PUNCT_MAX_PER_2_TOKENS = 1
+
+
 def doc_stats(sf_dir: str):
-    """(doc_id, n_chars, n_tokens, n_stop, quality) — quality scoring
-    (length + stopword signals), all-integer outputs for stable comparison."""
+    """(doc_id, n_chars, n_tokens, n_stop, n_punct, quality) — quality
+    scoring over length + stopword + punctuation-ratio signals,
+    all-integer outputs for stable comparison."""
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
     stop_pat = "\\b(" + "|".join(LANG_STOPWORDS["en"]) + ")\\b"
 
@@ -61,9 +68,19 @@ def doc_stats(sf_dir: str):
         n_chars = pc.utf8_length(text)
         n_tokens = _count_re(text, TOKEN_RE)
         n_stop = _count_re(text, stop_pat)
+        n_punct = _count_re(text, PUNCT_RE)
         quality = pc.and_(
-            pc.and_(pc.greater_equal(n_tokens, 5), pc.less_equal(n_tokens, 100000)),
-            pc.greater(n_stop, 0),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n_tokens, 5), pc.less_equal(n_tokens, 100000)
+                ),
+                pc.greater(n_stop, 0),
+            ),
+            # punct ratio: 2 * n_punct <= n_tokens (integer-exact both sides)
+            pc.less_equal(
+                pc.multiply(pc.cast(n_punct, pa.int64()), 2),
+                pc.cast(n_tokens, pa.int64()),
+            ),
         )
         return pa.table(
             {
@@ -71,6 +88,7 @@ def doc_stats(sf_dir: str):
                 "n_chars": pc.cast(n_chars, pa.int64()),
                 "n_tokens": pc.cast(n_tokens, pa.int64()),
                 "n_stop": pc.cast(n_stop, pa.int64()),
+                "n_punct": pc.cast(n_punct, pa.int64()),
                 "quality": pc.cast(quality, pa.int64()),
             }
         )
@@ -83,8 +101,11 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
        len(regexp_extract_all(text, '\\b({"|".join(LANG_STOPWORDS["en"])})\\b')) AS n_stop,
+       len(regexp_extract_all(text, '{PUNCT_RE.replace("'", "''")}')) AS n_punct,
        CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) BETWEEN 5 AND 100000
             AND len(regexp_extract_all(text, '\\b({"|".join(LANG_STOPWORDS["en"])})\\b')) > 0
+            AND 2 * len(regexp_extract_all(text, '{PUNCT_RE.replace("'", "''")}'))
+                <= len(regexp_extract_all(text, '{TOKEN_RE}'))
             AS BIGINT) AS quality
 FROM documents
 """
