@@ -984,8 +984,136 @@ WHERE list_dot_product(x.qd, y.qd) / (sqrt(x.nsq) * sqrt(y.nsq))
       >= {threshold}
 """
 
-
 # ------------------------------------------------- near-dup clusters (r3)
+
+
+def _cc_min_labels(edges, max_rounds: int = 50):
+    """Connected components over a MATERIALIZED symmetrized edge Dataset
+    (u, v int64) -> (labels Dataset (node, label=component min), rounds).
+
+    Min-label propagation WITH pointer jumping: every round each node
+    takes the min over (a) its neighbors' labels and (b) its label's
+    label (label compression).  (b) doubles the distance already covered,
+    so convergence is O(log diameter) rounds, not O(diameter) — a
+    1M-node chain needs ~20 rounds, not 1M.  Both message exchanges are
+    the union + salted-groupby co-partitioning used by the Jaccard
+    verify (no join operators); per-node minima ride Ray's vectorized
+    Min aggregate.  Labels are materialized per round (bounded: one row
+    per dup-graph node) and the convergence probe is a scalar sum
+    aggregate (labels decrease monotonically)."""
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
+        m = np.asarray(batch["min(v)"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {"node": pa.array(u), "label": pa.array(np.minimum(u, m))}
+        )
+
+    labels = (
+        edges.groupby("u")
+        .min("v")
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    if labels.count() == 0:
+        return labels, 0
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "key": batch["u"],
+                "v": batch["v"],
+                "label": pa.array(np.full(len(u), -1, dtype=np.int64)),
+                "salt": pa.array((u % _VERIFY_SALTS).astype(np.int32)),
+            }
+        )
+
+    def owner_rows(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "key": batch["node"],
+                "v": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                "label": batch["label"],
+                "salt": pa.array((node % _VERIFY_SALTS).astype(np.int32)),
+            }
+        )
+
+    def ask_rows(batch: pa.Table) -> pa.Table:
+        """pointer-jump queries: node u asks its LABEL's owner for that
+        owner's label (key = label(u), v = asker)."""
+        lab = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "key": batch["label"],
+                "v": batch["node"],
+                "label": pa.array(np.full(len(lab), -1, dtype=np.int64)),
+                "salt": pa.array((lab % _VERIFY_SALTS).astype(np.int32)),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        """One salt partition: vectorized-merge each key's label row onto
+        the asking rows, emit (asker-or-neighbor, label) messages plus the
+        owner's own keep-row."""
+        lab = group[group["v"] < 0][["key", "label"]]
+        ask = group[group["v"] >= 0][["key", "v"]]
+        m = ask.merge(lab, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [m["v"].to_numpy(), lab["key"].to_numpy()]
+                ),
+                "label": np.concatenate(
+                    [m["label"].to_numpy(), lab["label"].to_numpy()]
+                ),
+            }
+        )
+
+    def finish_min(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "label": batch["min(label)"]})
+
+    # block-count discipline: every round unions two groupby outputs, so
+    # the label table's block count would roughly DOUBLE per round and
+    # per-block fixed costs explode (measured: 0.3s -> 29s -> 150s rounds
+    # on a 32-node path).  Pin it to the edge table's block count.
+    n_blocks = max(edges.num_blocks(), 1)
+    prev_sum = labels.sum("label")
+    for rounds in range(1, max_rounds + 1):
+        owners = labels.map_batches(owner_rows, batch_format="pyarrow")
+        # (a) neighbor propagation: edges ask each source for its label
+        prop = (
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(owners)
+            .groupby("salt")
+            .map_groups(resolve, batch_format="pandas")
+        )
+        # (b) pointer jumping: each node asks label(node) for ITS label.
+        # Skipped in round 1 — init labels are 1-hop minima, so the first
+        # jump adds nothing for the common shallow dup graph, and each
+        # branch is a full salted shuffle; from round 2 on it doubles the
+        # covered distance per round (O(log diameter) total).
+        if rounds > 1:
+            jump = (
+                labels.map_batches(ask_rows, batch_format="pyarrow")
+                .union(owners)
+                .groupby("salt")
+                .map_groups(resolve, batch_format="pandas")
+            )
+            prop = prop.union(jump)
+        labels = (
+            prop.groupby("node")
+            .min("label")
+            .map_batches(finish_min, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # per-node labels only decrease
+            return labels, rounds
+        prev_sum = cur_sum
+    raise RuntimeError(f"_cc_min_labels did not converge in {max_rounds} rounds")
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.5, max_rounds: int = 50):
@@ -994,17 +1122,12 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, max_rounds: int = 50):
     document, cluster_id = the smallest doc_id in its component
     (singletons cluster with themselves).
 
-    Distributed shape: iterative min-label propagation.  Each round
-    unions the symmetrized edge list with the current label table and
-    resolves both shuffles through the same salted-groupby
-    co-partitioning the Jaccard verify uses (no join operators, no
-    driver-side edge materialization); per-node minima ride Ray's
-    vectorized Min aggregate.  Round count = dup-graph diameter (near-dup
-    clusters are shallow; ``max_rounds`` fails loud on pathological
-    graphs).  The final singleton fill-in broadcasts the label dict via
-    ``ray.put`` — nodes-in-dup-graph << corpus for real near-dup rates; a
-    dup-heavy corpus should swap the broadcast for the hash-partitioned
-    join plan."""
+    Distributed shape: :func:`_cc_min_labels` (min-label propagation +
+    pointer jumping, O(log diameter) rounds of salted-groupby shuffles).
+    The final singleton fill-in broadcasts the label table once as a
+    sorted numpy pair — nodes-in-dup-graph << corpus for real near-dup
+    rates; a dup-heavy corpus should swap the broadcast for the
+    hash-partitioned join plan."""
     import ray
 
     from . import read
@@ -1023,92 +1146,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, max_rounds: int = 50):
 
     # edges are re-read every propagation round: pin them (bounded, 2x pairs)
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
-
-    def init_labels(batch: pa.Table) -> pa.Table:
-        u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
-        m = np.asarray(batch["min(v)"].to_pylist(), dtype=np.int64)
-        return pa.table(
-            {"node": pa.array(u), "label": pa.array(np.minimum(u, m))}
-        )
-
-    labels = (
-        edges.groupby("u")
-        .min("v")
-        .map_batches(init_labels, batch_format="pyarrow")
-        .materialize()
-    )
-
-    n_nodes = labels.count()
-    if n_nodes:
-        prev_sum = labels.sum("label")
-        for _round in range(max_rounds):
-
-            def edge_rows(batch: pa.Table) -> pa.Table:
-                u = np.asarray(batch["u"].to_pylist(), dtype=np.int64)
-                return pa.table(
-                    {
-                        "key": batch["u"],
-                        "v": batch["v"],
-                        "label": pa.array(np.full(len(u), -1, dtype=np.int64)),
-                        "salt": pa.array((u % _VERIFY_SALTS).astype(np.int32)),
-                    }
-                )
-
-            def label_rows(batch: pa.Table) -> pa.Table:
-                node = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
-                return pa.table(
-                    {
-                        "key": batch["node"],
-                        "v": pa.array(np.full(len(node), -1, dtype=np.int64)),
-                        "label": batch["label"],
-                        "salt": pa.array((node % _VERIFY_SALTS).astype(np.int32)),
-                    }
-                )
-
-            def propagate(group: pd.DataFrame) -> pd.DataFrame:
-                """One salt partition: attach each node's label to its
-                outgoing edges (vectorized merge), emit (neighbor, label)
-                messages plus the node's own (node, label) keep-row."""
-                lab = group[group["v"] < 0][["key", "label"]]
-                edg = group[group["v"] >= 0][["key", "v"]]
-                m = edg.merge(lab, on="key", how="inner")
-                return pd.DataFrame(
-                    {
-                        "node": np.concatenate(
-                            [m["v"].to_numpy(), lab["key"].to_numpy()]
-                        ),
-                        "label": np.concatenate(
-                            [m["label"].to_numpy(), lab["label"].to_numpy()]
-                        ),
-                    }
-                )
-
-            msgs = (
-                edges.map_batches(edge_rows, batch_format="pyarrow")
-                .union(labels.map_batches(label_rows, batch_format="pyarrow"))
-                .groupby("salt")
-                .map_groups(propagate, batch_format="pandas")
-            )
-
-            def finish_min(batch: pa.Table) -> pa.Table:
-                return pa.table(
-                    {"node": batch["node"], "label": batch["min(label)"]}
-                )
-
-            labels = (
-                msgs.groupby("node")
-                .min("label")
-                .map_batches(finish_min, batch_format="pyarrow")
-                .materialize()
-            )
-            cur_sum = labels.sum("label")
-            if cur_sum == prev_sum:  # per-node labels only decrease
-                break
-            prev_sum = cur_sum
-        else:
-            raise RuntimeError(
-                f"dedup_clusters did not converge in {max_rounds} rounds"
-            )
+    labels, _rounds = _cc_min_labels(edges, max_rounds)
 
     # singleton fill-in: broadcast the (small) dup-graph label table once,
     # as a sorted-key numpy pair so per-batch assignment is a vectorized
@@ -1133,6 +1171,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, max_rounds: int = 50):
     return read(sf_dir, "documents", columns=["doc_id"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
 
 
 def dedup_clusters_sql(threshold: float = 0.5) -> str:

@@ -254,3 +254,24 @@ def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+
+
+def test_cc_pointer_jumping_converges_in_log_rounds(ray_session):
+    """A 64-node path graph (diameter 63): plain min-propagation would need
+    ~63 rounds; pointer jumping must finish in O(log n)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pytorchocr_ray.ops.dedup import _cc_min_labels
+
+    n = 64
+    u = list(range(n - 1)) + list(range(1, n))
+    v = list(range(1, n)) + list(range(n - 1))
+    edges = rd.from_arrow(
+        pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+    ).materialize()
+    labels, rounds = _cc_min_labels(edges, max_rounds=20)
+    df = labels.to_pandas()
+    assert len(df) == n
+    assert (df["label"] == 0).all()  # one component, min node 0
+    assert rounds <= 12, f"expected O(log n) rounds, took {rounds}"
