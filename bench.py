@@ -161,6 +161,10 @@ def run_bench() -> dict:
     timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())
     timed("doc_stats", lambda: textstats.doc_stats(SF_DIR).to_pandas())
+    timed(
+        "ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(SF_DIR).count()
+    )
+    timed("dedup_clusters", lambda: dedup.dedup_clusters(SF_DIR).count())
 
     extract_sec = timings["extract"]
     result = {

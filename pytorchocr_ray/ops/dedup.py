@@ -1151,7 +1151,10 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, max_rounds: int = 50):
     # singleton fill-in: broadcast the (small) dup-graph label table once,
     # as a sorted-key numpy pair so per-batch assignment is a vectorized
     # searchsorted, not a per-row dict loop
-    lab_df = labels.to_pandas().sort_values("node")
+    lab_df = labels.to_pandas()
+    if "node" not in lab_df.columns:  # empty dup graph: schema-less dataset
+        lab_df = pd.DataFrame({"node": [], "label": []})
+    lab_df = lab_df.sort_values("node")
     lab_ref = ray.put(
         (lab_df["node"].to_numpy(np.int64), lab_df["label"].to_numpy(np.int64))
     )

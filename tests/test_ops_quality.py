@@ -275,3 +275,29 @@ def test_cc_pointer_jumping_converges_in_log_rounds(ray_session):
     assert len(df) == n
     assert (df["label"] == 0).all()  # one component, min node 0
     assert rounds <= 12, f"expected O(log n) rounds, took {rounds}"
+
+
+def test_dedup_clusters_all_singletons(ray_session, tmp_path):
+    """No near-dup pairs at all: the empty-graph path must still emit one
+    singleton row per document."""
+    from pytorchocr_ray.ops.dedup import dedup_clusters
+
+    rng = np.random.default_rng(12)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(8)]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = dedup_clusters(d).to_pandas().sort_values("doc_id")
+    assert (out["cluster_id"].to_numpy() == out["doc_id"].to_numpy()).all()
+    assert len(out) == 8
