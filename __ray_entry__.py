@@ -86,6 +86,55 @@ def _audio_features(sf_dir: str) -> Any:
     return audio_features(ds, concurrency=pool_size())
 
 
+def _real_audio_dir(sf_dir: str) -> str:
+    from pytorchocr_ray.synth.multimodal import synth_real_audio_parquet
+
+    return synth_real_audio_parquet(min(100, _n_rows(sf_dir)), seed=_SEED)
+
+
+def _real_video_dir(sf_dir: str) -> str:
+    from pytorchocr_ray.synth.multimodal import synth_real_video_parquet
+
+    return synth_real_video_parquet(min(100, _n_rows(sf_dir)), seed=_SEED)
+
+
+def _audio_features_real(sf_dir: str) -> Any:
+    """REAL 16-bit PCM WAV payloads through the real decoder (r3)."""
+    import os
+
+    import ray.data as rd
+
+    from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.stages.multimodal import audio_features, real_audio_decode
+
+    ds = rd.read_parquet(
+        os.path.join(_real_audio_dir(sf_dir), "payload.parquet"),
+        override_num_blocks=8,
+    )
+    return audio_features(ds, concurrency=pool_size(), decoder=real_audio_decode)
+
+
+def _video_frames_real(sf_dir: str) -> Any:
+    """REAL YUV4MPEG2 payloads through the real decoder (r3)."""
+    import os
+
+    import ray.data as rd
+
+    from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.stages.multimodal import (
+        real_video_decode,
+        video_frame_samples,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(_real_video_dir(sf_dir), "payload.parquet"),
+        override_num_blocks=8,
+    )
+    return video_frame_samples(
+        ds, concurrency=pool_size(), decoder=real_video_decode
+    )
+
+
 def _video_frames(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -186,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary-payload stages (stub decoders, SQL-verified)
         "audio_features": _audio_features,
         "video_frames": _video_frames,
+        # same stages over REAL container payloads (PCM WAV / YUV4MPEG2)
+        # through the real decoders; generator-knowledge expected oracle
+        "audio_features_real": _audio_features_real,
+        "video_frames_real": _video_frames_real,
         # engine evaluation (det IoU + rec accuracy, partial+final agg)
         "evaluate_engine": _evaluate_engine,
         # table branch: pubtab JSONL -> structure decode + bbox denorm
@@ -255,6 +308,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "audio_features": audio_features_sql(_audio_parquet(sf_dir)),
         "video_frames": video_frames_sql(_video_parquet(sf_dir)),
+        "audio_features_real": (
+            "SELECT sample_ref, window_idx, energy, zcr "
+            f"FROM read_parquet('{os.path.join(_real_audio_dir(sf_dir), 'expected.parquet')}')"
+        ),
+        "video_frames_real": (
+            "SELECT frame_ref, frame_idx, mean_luma "
+            f"FROM read_parquet('{os.path.join(_real_video_dir(sf_dir), 'expected.parquet')}')"
+        ),
         "table_structure": (
             "SELECT filename, structure, n_cells, bbox_sum "
             f"FROM read_parquet('{pubtab_expected}')"

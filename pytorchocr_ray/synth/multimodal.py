@@ -122,3 +122,166 @@ def synth_video_parquet(n_rows: int, seed: int = 42) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(synth_video_table(n_rows, seed), path)
     return path
+
+
+# ------------------------------------------------ REAL payloads (round 3)
+#
+# The stub tables above exercise the binary plumbing with SQL-expressible
+# fake decoders.  These tables carry REAL container formats — 16-bit PCM
+# WAV and YUV4MPEG2 — so the driver exercises the real decoders
+# (stages/multimodal.py real_audio_decode / real_video_decode) end to end.
+# The oracle is GENERATOR KNOWLEDGE: expected features are computed here,
+# directly from the raw samples/frames before encoding, with independent
+# straightforward loops (not the stage's vectorized framing), and written
+# as an expected parquet the SQL oracle just reads — the same
+# stronger-than-SQL oracle pattern as the extraction ground truth.
+
+
+def _wav_bytes(samples: np.ndarray, rate: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _y4m_bytes(frames: np.ndarray, fps_num: int = 24) -> bytes:
+    n, h, w = frames.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps_num}:1 Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * (h * w // 2)
+    parts = [hdr]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(f.astype(np.uint8).tobytes())
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def _real_dir(kind: str, n: int, seed: int) -> str:
+    import hashlib
+    import sys
+
+    from ..stages import multimodal as _mm
+
+    h = hashlib.sha256()
+    for mod in (sys.modules[__name__], _mm):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return f"/tmp/pytorchocr_ray_mm/{kind}_n{n}_s{seed}_v{h.hexdigest()[:10]}"
+
+
+def synth_real_audio_parquet(
+    n_rows: int, seed: int = 42, window: int = 1024, hop: int = 512
+) -> str:
+    """Dir with payload.parquet (real WAV rows, AUDIO_SCHEMA minus seed)
+    + expected.parquet (sample_ref, window_idx, energy, zcr)."""
+    d = _real_dir("real_audio", n_rows, seed)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    refs, datas, rates, lens = [], [], [], []
+    e_ref, e_idx, e_en, e_zc = [], [], [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng((seed << 18) + i)
+        n = int(rng.integers(2048, 8192))
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+        refs.append(f"wav-{i:06d}")
+        datas.append(_wav_bytes(samples, 16000))
+        rates.append(16000)
+        lens.append(n)
+        # expected features: plain per-window loop over the raw samples
+        k = 0
+        while k * hop + window <= n:
+            win = samples[k * hop : k * hop + window]
+            e_ref.append(f"wav-{i:06d}")
+            e_idx.append(k)
+            e_en.append(int((win * win).sum()) / float(1 << 30))
+            neg = win < 0
+            e_zc.append(int((neg[1:] != neg[:-1]).sum()) / window)
+            k += 1
+    pq.write_table(
+        pa.table(
+            {
+                "sample_ref": pa.array(refs, pa.string()),
+                "data": pa.array(datas, pa.binary()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(lens, pa.int32()),
+            }
+        ),
+        os.path.join(d, "payload.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "sample_ref": pa.array(e_ref, pa.string()),
+                "window_idx": pa.array(e_idx, pa.int32()),
+                "energy": pa.array(e_en, pa.float64()),
+                "zcr": pa.array(e_zc, pa.float64()),
+            }
+        ),
+        os.path.join(d, "expected.parquet"),
+    )
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return d
+
+
+def synth_real_video_parquet(
+    n_rows: int, seed: int = 42, every_k: int = 5
+) -> str:
+    """Dir with payload.parquet (real y4m rows) + expected.parquet
+    (frame_ref, frame_idx, mean_luma)."""
+    d = _real_dir("real_video", n_rows, seed)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    w, h = 64, 48
+    refs, datas, ws, hs, nf, fps = [], [], [], [], [], []
+    e_ref, e_idx, e_lu = [], [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng((seed << 19) + i)
+        n = int(rng.integers(10, 40))
+        frames = rng.integers(0, 256, size=(n, h, w), dtype=np.int64).astype(
+            np.uint8
+        )
+        refs.append(f"y4m-{i:06d}")
+        datas.append(_y4m_bytes(frames))
+        ws.append(w)
+        hs.append(h)
+        nf.append(n)
+        fps.append(24.0)
+        for k in range(0, n, every_k):
+            e_ref.append(f"y4m-{i:06d}")
+            e_idx.append(k)
+            e_lu.append(int(frames[k].astype(np.int64).sum()) / float(h * w))
+    pq.write_table(
+        pa.table(
+            {
+                "frame_ref": pa.array(refs, pa.string()),
+                "data": pa.array(datas, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "n_frames": pa.array(nf, pa.int32()),
+                "fps": pa.array(fps, pa.float32()),
+            }
+        ),
+        os.path.join(d, "payload.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "frame_ref": pa.array(e_ref, pa.string()),
+                "frame_idx": pa.array(e_idx, pa.int32()),
+                "mean_luma": pa.array(e_lu, pa.float64()),
+            }
+        ),
+        os.path.join(d, "expected.parquet"),
+    )
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return d
