@@ -253,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "top_orders_per_customer": relational.top_orders_per_customer,
         "events_hourly": relational.events_hourly,
+        # sliding (hopping) 1h/15min window — integer-cents sums for
+        # association-order-proof exactness
+        "events_sliding": relational.events_sliding,
         "user_activity": relational.user_activity,
         "supplier_nation": relational.supplier_nation,
         "sessionize": _sessionize,
@@ -346,6 +349,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "top_customers": relational.top_customers_sql(),
         "top_orders_per_customer": relational.top_orders_per_customer_sql(),
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_sliding": relational.events_sliding_sql(),
         "user_activity": relational.USER_ACTIVITY_SQL,
         "supplier_nation": relational.SUPPLIER_NATION_SQL,
         "sessionize": _sessionize_sql(),

@@ -382,3 +382,81 @@ SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+def events_sliding(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Event-time SLIDING (hopping) window aggregate: every event lands in
+    ``window_s / hop_s`` overlapping windows aligned to the hop grid.
+
+    Same distributed shape as :func:`events_hourly` — window membership is
+    enumerated vectorized per batch (np.repeat over the fixed window
+    count; with hop | window every event belongs to exactly window/hop
+    windows, the general-membership proof mirrors the audio framing), then
+    partial counts ride one groupby Sum.  Window keys are epoch-second
+    ints derived from exact microsecond arithmetic, matching DuckDB's
+    ``epoch_us`` bigint on the oracle side."""
+    from ray.data.aggregate import Sum
+
+    if window_s % hop_s:
+        raise ValueError("hop must divide window for exact membership")
+    nwin = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        base = t_us // hop_us
+        k = np.tile(np.arange(nwin, dtype=np.int64), len(df))
+        win = (np.repeat(base, nwin) - k) * hop_us // 1_000_000
+        # quantize to integer cents BEFORE summing: float sums depend on
+        # association order, and a sliding window re-associates every
+        # partial differently from the SQL engine — integer sums are exact
+        # on both sides (floor(x*100+0.5), the repo-wide quantize idiom)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].to_numpy(), nwin),
+                "win_start": win,
+                "cents": np.repeat(cents, nwin),
+            }
+        ).groupby(["event_type", "win_start"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "win_start": batch["win_start"],
+                "n": pc.cast(batch["n"], pa.int64()),
+                "sum_cents": pc.cast(batch["sum_cents"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def events_sliding_sql(window_s: int = 3600, hop_s: int = 900) -> str:
+    nwin = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    return f"""
+SELECT event_type,
+       CAST(w // 1000000 AS BIGINT) AS win_start,
+       count(*) AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+FROM (
+  SELECT event_type, value,
+         unnest(list_transform(range({nwin}),
+                k -> (epoch_us(ts) // {hop_us} - k) * {hop_us})) AS w
+  FROM events)
+GROUP BY 1, 2
+"""
