@@ -452,7 +452,7 @@ def events_sliding_sql(window_s: int = 3600, hop_s: int = 900) -> str:
 SELECT event_type,
        CAST(w // 1000000 AS BIGINT) AS win_start,
        count(*) AS n,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM (
   SELECT event_type, value,
          unnest(list_transform(range({nwin}),
