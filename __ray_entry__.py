@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "simsearch_topk": simsearch.topk_bruteforce,
         "simsearch_ivf": simsearch.topk_ivf,
+        # int8 scalar-quantized variant: exact-integer scores, 4x less
+        # data movement than float32 at scale
+        "simsearch_sq": simsearch.topk_sq,
         # multimodal binary-payload stages (stub decoders, SQL-verified)
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -343,6 +346,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "simsearch_topk": simsearch.topk_bruteforce_sql(),
         "simsearch_ivf": simsearch.topk_ivf_sql(),
+        "simsearch_sq": simsearch.topk_sq_sql(),
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "revenue_by_segment_join": relational.REVENUE_BY_SEGMENT_SQL,

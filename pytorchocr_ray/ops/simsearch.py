@@ -240,3 +240,92 @@ SELECT query_id, vec_id, rank FROM (
   JOIN e v ON v.vec_id = a.vec_id)
 WHERE rank <= {k}
 """
+
+
+# ------------------------------------------- scalar quantization (r3)
+
+
+SQ_SCALE = 127  # int8 range: 4x less data movement than float32 at scale
+
+
+def _quantize_sq(emb: np.ndarray) -> np.ndarray:
+    """float embedding -> int8-range int64 codes (components clipped to
+    [-1, 1]; the corpus is unit-norm so clipping is a no-op guard)."""
+    return np.floor(np.clip(emb, -1.0, 1.0) * SQ_SCALE + 0.5).astype(np.int64)
+
+
+def topk_sq(sf_dir: str, k: int = 5, nq: int = 8):
+    """Approximate top-k by INTEGER dot product of int8-quantized vectors —
+    the memory-bandwidth scale path: codes are 4x smaller than float32, the
+    per-batch score kernel is an integer matmul, and scores are exact ints
+    so the distributed partial-top-k merge has no float-association issues.
+    Ordering ties broken by vec_id; recall vs the exact baseline is
+    asserted in tests (quantization is the only approximation)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", nq)],
+    )
+    df = t.to_pandas().sort_values("vec_id").head(nq)
+    qids = df["vec_id"].to_numpy(np.int64)
+    qmat = _quantize_sq(np.asarray(df["embedding"].tolist(), dtype=np.float64))
+    q_ref = ray.put((qids, qmat))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, q = ray.get(q_ref)
+        emb = _quantize_sq(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        scores = q @ emb.T  # exact int64 (|q|,|e| <= 127, d=64 -> < 2^21)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, scores.shape[1])
+        for qi in range(len(ids)):
+            s = scores[qi]
+            idx = np.lexsort((vids, -s))[:kk]
+            out_q.extend([ids[qi]] * len(idx))
+            out_v.extend(vids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def topk_sq_sql(k: int = 5, nq: int = 8) -> str:
+    """DuckDB twin: identical int8 quantization + integer dot ordering."""
+    code = (
+        "list_transform(embedding, x -> CAST(floor("
+        f"greatest(-1.0, least(1.0, x)) * {SQ_SCALE} + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, {code} AS q8 FROM embeddings),
+q AS (SELECT vec_id AS query_id, q8 AS qq FROM c ORDER BY vec_id LIMIT {nq})
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY list_dot_product(qq, c.q8) DESC, vec_id ASC
+       ) AS BIGINT) AS rank
+FROM q CROSS JOIN c
+QUALIFY rank <= {k}
+"""

@@ -301,3 +301,18 @@ def test_dedup_clusters_all_singletons(ray_session, tmp_path):
     out = dedup_clusters(d).to_pandas().sort_values("doc_id")
     assert (out["cluster_id"].to_numpy() == out["doc_id"].to_numpy()).all()
     assert len(out) == 8
+
+
+def test_sq_recall_vs_bruteforce(ray_session, crafted_dir):
+    """int8 scalar quantization: high recall vs the exact baseline, and the
+    planted near-identical pairs must surface for their source queries."""
+    from pytorchocr_ray.ops.simsearch import topk_bruteforce, topk_sq
+
+    exact = topk_bruteforce(crafted_dir, k=3, nq=4).to_pandas()
+    sq = topk_sq(crafted_dir, k=3, nq=4).to_pandas()
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(sq["query_id"], sq["vec_id"]))
+    assert len(e & a) / len(e) >= 0.75
+    # planted near-dups (vec 30+i ~ vec i) rank in query i's top-3
+    for i in range(3):
+        assert (i, 30 + i) in a
