@@ -259,7 +259,14 @@ Per-query seconds @ {res['cpus_lo']} cpus: `{json.dumps(lo['queries'])}`
         with open(path) as f:
             text = f.read()
         if marker in text:
-            text = text[: text.index(marker)].rstrip() + "\n\n" + block
+            # replace ONLY the measured block: it runs from the marker to
+            # the next "### " heading (measurement-notes sections appended
+            # after the block must survive a refresh)
+            start = text.index(marker)
+            rest = text[start:]
+            nxt = rest.find("\n### ")
+            tail = rest[nxt:] if nxt != -1 else "\n"
+            text = text[:start].rstrip() + "\n\n" + block + tail
         else:
             text = text.rstrip() + "\n\n" + block
         with open(path, "w") as f:
