@@ -6,13 +6,16 @@ The driver initialises Ray itself; nothing here (or in the library) calls
 * ``entry()`` — flagship interleaved-corpus extraction at sf0.001 scale.
 * ``queries()`` — every implemented operator/pipeline (SURVEY.md §2 +
   training-data ops), each a callable of ``sf_dir``.
-* ``oracle_sql()`` — DuckDB twins for every query except the engine-metric
-  aggregate (genuinely non-SQL: model evaluation).  Round 2 re-based the
-  sketch ops (fingerprint, simhash, minhash, n-gram Jaccard, embedding
-  LSH, IVF) on SQL-expressible hashes, gave the flagship extraction and
-  the table branch ground-truth oracles, and made the audio/video fake
-  decoders LCG-arithmetic so even the stub-decode stages are
-  hash-verified.
+* ``oracle_sql()`` — DuckDB twins for EVERY query (round 3: 34/34).
+  Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
+  Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
+  flagship extraction and the table branch ground-truth oracles, and made
+  the audio/video fake decoders LCG-arithmetic so even the stub-decode
+  stages are hash-verified.  Round 3 added the engine-metric oracle (a
+  bit-exact single-process counters table), the image-driven table
+  branch, near-dup clusters (recursive-CTE twin), real-payload
+  audio/video queries (generator-knowledge expected parquet), a sliding
+  window, and int8 scalar-quantized similarity.
 
 The interleaved corpus itself is synthesized deterministically per sf_dir
 (seed fixed, cached under /tmp) because the BASELINE input_hint's
