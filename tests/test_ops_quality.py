@@ -316,3 +316,18 @@ def test_sq_recall_vs_bruteforce(ray_session, crafted_dir):
     # planted near-dups (vec 30+i ~ vec i) rank in query i's top-3
     for i in range(3):
         assert (i, 30 + i) in a
+
+
+def test_read_block_count_scales_with_file_size(ray_session):
+    """ops.read() pins small parquet files to few, non-sliver blocks
+    (Ray's default ~2x-cpus parallelism shattered a 9 KB file into 64
+    blocks and downstream shuffles paid per-block fixed cost on all of
+    them), while staying within the [4, cpus/2] clamp."""
+    import ray
+
+    from pytorchocr_ray.ops import read
+
+    ds = read("/root/testdata/sf0.001", "documents", columns=["doc_id"])
+    nb = ds.materialize().num_blocks()
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    assert 1 <= nb <= max(4, cpus // 2), nb
