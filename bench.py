@@ -8,7 +8,13 @@ prints ONE JSON line:
 
   {"metric": "e2e_extract_sec", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
-   "docs_per_sec": ...}
+   "docs_per_sec": ..., "ocr_cpu_ms_per_image": ...}
+
+The headline extract is the MEDIAN of three timed runs (r4; min-of-2
+before), and every run also reports per-image OCR process-CPU ms from a
+named counter actor — the host-noise-insensitive signal: stable CPU ms
+with inflated wall time means host noise, moved CPU ms means a real
+regression (VERDICT r3 #1).
 
 ``--scaling`` re-runs the harness in fresh subprocesses (num_cpus=8 and 32)
 on the same input and reports throughput at both plus scaling efficiency
@@ -49,6 +55,10 @@ def corpus_docs_for(sf_dir: str) -> int:
 
 
 def run_bench() -> dict:
+    # per-image OCR CPU accounting: must be in the env BEFORE ray.init so
+    # worker processes inherit it (see state/bench_counter.py)
+    os.environ["BENCH_OCR_CPU"] = "1"
+
     import ray
 
     ray.init(
@@ -63,6 +73,7 @@ def run_bench() -> dict:
 
     from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
     from pytorchocr_ray.pipelines.extract import extract_dataset
+    from pytorchocr_ray.state.bench_counter import get_or_create
     from pytorchocr_ray.synth.generate import corpus_path, generate_corpus_ray
 
     n_docs = corpus_docs_for(SF_DIR)
@@ -88,16 +99,26 @@ def run_bench() -> dict:
     # cache, weight construction, and the media shard files — the cold-run
     # share of these was the main suspect for the round-1 driver-vs-builder
     # bench spread (VERDICT r1 #4)
+    warm_n = max(200, n_docs // 20)
     warm_corpus = generate_corpus_ray(
-        corpus_path(max(200, n_docs // 20), 42),
-        n_docs=max(200, n_docs // 20),
-        seed=42,
+        corpus_path(warm_n, 42), n_docs=warm_n, seed=42
     )
     extract_dataset(
         os.path.join(warm_corpus, "documents"),
         os.path.join(warm_corpus, "media"),
     ).write_parquet(out_dir + "_warm")
     shutil.rmtree(out_dir + "_warm", ignore_errors=True)
+
+    # a cache-miss corpus generation writes GBs to /tmp right before the
+    # timed runs; flush the dirty pages NOW so writeback doesn't steal
+    # bandwidth mid-measurement (a prime suspect for the r3 driver-vs-
+    # builder 1.31x headline spread: the driver always regenerates after a
+    # code change, the builder usually has a warm cache)
+    os.sync()
+    time.sleep(2)
+
+    counter = get_or_create()
+    ray.get(counter.read_and_reset.remote())  # drop warmup contributions
 
     def run_extract():
         ds = extract_dataset(
@@ -106,12 +127,20 @@ def run_bench() -> dict:
         )
         ds.write_parquet(out_dir)
 
-    # min-of-2 (documented in BASELINE.md): per-run actor-ramp/OS noise was
-    # a 1.33x spread between identical runs in round 1; both runs recorded
-    timed("extract_run1", run_extract)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    timed("extract_run2", run_extract)
-    timings["extract"] = min(timings["extract_run1"], timings["extract_run2"])
+    # median-of-3 (VERDICT r3 #1: min-of-2 left the driver reading exposed
+    # to host noise); per-run per-image OCR CPU ms recorded alongside so a
+    # noisy-host run is self-diagnosing (stable CPU ms + inflated wall
+    # time = host noise, moved CPU ms = real regression)
+    cpu_ms_runs: list[float] = []
+    runs = []
+    for i in (1, 2, 3):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        timed(f"extract_run{i}", run_extract)
+        runs.append(timings[f"extract_run{i}"])
+        cpu_s, n_img = ray.get(counter.read_and_reset.remote())
+        cpu_ms_runs.append(round(1000.0 * cpu_s / max(n_img, 1), 3))
+    timings["extract"] = sorted(runs)[1]
+    ocr_cpu_ms = sorted(cpu_ms_runs)[1]
 
     if os.environ.get("BENCH_EXTRACT_ONLY"):
         extract_sec = timings["extract"]
@@ -125,6 +154,8 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "n_docs": n_docs,
             "docs_per_sec": round(n_docs / extract_sec, 2),
+            "ocr_cpu_ms_per_image": ocr_cpu_ms,
+            "ocr_cpu_ms_runs": cpu_ms_runs,
         }
 
     # alternate physical plans (quarter corpus: these exist for topology
@@ -166,6 +197,22 @@ def run_bench() -> dict:
     )
     timed("dedup_clusters", lambda: dedup.dedup_clusters(SF_DIR).count())
 
+    # visualization sink over the (small) warmup corpus media — the only
+    # r3 stage previously outside the sweep (VERDICT r3 #9)
+    from pytorchocr_ray.stages.visualize import visualize_corpus
+
+    vis_out = "/tmp/bench_vis_out"
+    shutil.rmtree(vis_out, ignore_errors=True)
+    timed(
+        "visualize",
+        lambda: visualize_corpus(
+            os.path.join(warm_corpus, "media"),
+            vis_out,
+            concurrency=max(1, NUM_CPUS - 2),
+        ),
+    )
+    shutil.rmtree(vis_out, ignore_errors=True)
+
     extract_sec = timings["extract"]
     result = {
         "metric": "e2e_extract_sec",
@@ -176,6 +223,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
+        "ocr_cpu_ms_per_image": ocr_cpu_ms,
+        "ocr_cpu_ms_runs": cpu_ms_runs,
         "alt_plan_docs": alt_n,
         "split_docs_per_sec": round(alt_n / timings["extract_split"], 2),
         "join_docs_per_sec": round(alt_n / timings["extract_join"], 2),

@@ -29,6 +29,11 @@ def read(sf_dir: str, table: str, columns=None):
     path = f"{sf_dir}/{table}.parquet"
     kw = {}
     try:
+        # getsize() on a DIRECTORY returns the inode size (~4 KiB) — without
+        # the isfile gate a directory dataset would be clamped to 4 blocks
+        # instead of falling through to Ray's default.
+        if not os.path.isfile(path):
+            raise OSError(path)
         nbytes = os.path.getsize(path)
         if nbytes <= _SMALL_FILE_BYTES:
             cpus = int(ray.cluster_resources().get("CPU", 4))

@@ -349,25 +349,66 @@ def _verify_jaccard(cands, shl_ds, threshold: float):
     att = u.groupby("salt").map_groups(attach, batch_format="pandas")
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, pct = [], [], []
-        for (a, b), pair in group.groupby(["doc_a", "doc_b"], sort=False):
-            blobs = dict(zip(pair["doc_id"], pair["shl"]))
-            if a not in blobs or b not in blobs:
-                continue  # a side's set was dropped (tokenless doc)
-            xa = np.frombuffer(blobs[a], dtype=np.int64)
-            xb = np.frombuffer(blobs[b], dtype=np.int64)
-            inter = len(np.intersect1d(xa, xb, assume_unique=True))
-            uni = len(xa) + len(xb) - inter
-            if uni and inter / uni >= threshold:
-                rows_a.append(a)
-                rows_b.append(b)
-                # association matches the SQL twin: (100.0*inter)/uni
-                pct.append(int(np.floor((100.0 * inter) / uni + 0.5)))
+        """Per-salt exact-Jaccard verify, fully vectorized (r4; the former
+        per-pair groupby+intersect1d loop was the dominant cost of every
+        dedup query, VERDICT r3 #3): concatenate all shingle blobs once,
+        tag each value with its pair ordinal, lexsort (pair, value) — an
+        intersection element appears exactly twice adjacent (blobs are
+        sorted-unique per doc), so one bincount of adjacent-equal runs
+        yields every pair's intersection size."""
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "jaccard_pct": pd.Series([], dtype=np.int64),
+            }
+        )
+        if group.empty:
+            return empty
+        # one row per (pair, side); duplicate candidates (one per matching
+        # band) collapse here
+        g = group.drop_duplicates(subset=["doc_a", "doc_b", "doc_id"])
+        g = g.sort_values(["doc_a", "doc_b", "doc_id"], kind="mergesort")
+        a = g["doc_a"].to_numpy(np.int64)
+        b = g["doc_b"].to_numpy(np.int64)
+        new_pair = np.ones(len(g), dtype=bool)
+        new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        pair_idx = np.cumsum(new_pair) - 1
+        counts = np.bincount(pair_idx)
+        # a complete pair has BOTH side rows (attach inner-merged each half
+        # with its shingle set, so a tokenless doc's side is just absent)
+        complete = counts == 2
+        row_keep = complete[pair_idx]
+        if not row_keep.any():
+            return empty
+        shl_k = g["shl"].to_numpy(object)[row_keep]
+        # compact kept pair ordinals to 0..n-1
+        pk = np.cumsum(new_pair[row_keep]) - 1
+        n_pairs = pk[-1] + 1
+        lens = np.fromiter(
+            (len(x) for x in shl_k), dtype=np.int64, count=len(shl_k)
+        ) // 8
+        vals = np.frombuffer(b"".join(shl_k), dtype=np.int64)
+        pair_of_val = np.repeat(pk, lens)
+        order = np.lexsort((vals, pair_of_val))
+        p = pair_of_val[order]
+        v = vals[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[:-1][dup], minlength=n_pairs)
+        # rows alternate a-side, b-side within each kept pair (doc_id sort
+        # + doc_a < doc_b)
+        uni = lens[0::2] + lens[1::2] - inter
+        jac = inter / uni  # uni > 0: sets are non-empty by construction
+        m = jac >= threshold
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(rows_a, dtype=np.int64),
-                "doc_b": pd.Series(rows_b, dtype=np.int64),
-                "jaccard_pct": pd.Series(pct, dtype=np.int64),
+                "doc_a": pd.Series(a[row_keep][0::2][m], dtype=np.int64),
+                "doc_b": pd.Series(b[row_keep][0::2][m], dtype=np.int64),
+                # association matches the SQL twin: (100.0*inter)/uni
+                "jaccard_pct": pd.Series(
+                    np.floor((100.0 * inter[m]) / uni[m] + 0.5).astype(np.int64),
+                    dtype=np.int64,
+                ),
             }
         )
 

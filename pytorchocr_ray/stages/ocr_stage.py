@@ -175,11 +175,19 @@ class OcrStage:
     output: text rows passed through + one row per OCR'd region."""
 
     def __init__(self, weights_ref=None, media_ref=None, config: OcrConfig | None = None):
+        from ..state.bench_counter import counter_enabled, try_get
+
         w = _get(weights_ref) if weights_ref is not None else build_weights()
         self.engine = OcrEngine(w, config)
         self.lookup = make_media_lookup(media_ref)
+        # bench-only per-image CPU accounting (None in production runs)
+        self._counter = try_get() if counter_enabled() else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
+        cpu0 = time.process_time() if self._counter is not None else 0.0
+        n_images = 0
         out = _Collector()
         kinds = batch["kind"].to_pylist()
         doc_ids = batch["doc_id"].to_pylist()
@@ -207,6 +215,7 @@ class OcrStage:
                 out.add(doc_ids[i], offsets[i], TOMBSTONE_REGION, "media", "",
                         refs[i], None, None, sidx[i], nsp[i])
                 continue
+            n_images += 1
             regions = self.engine.ocr_image(gray)
             if not regions:
                 # a decodable image where the detector finds NO text emits
@@ -229,6 +238,9 @@ class OcrStage:
                     sidx[i],
                     nsp[i],
                 )
+        if self._counter is not None and n_images:
+            # fire-and-forget: a tiny message per batch, never awaited
+            self._counter.add.remote(time.process_time() - cpu0, n_images)
         return out.table()
 
 
