@@ -348,7 +348,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "simsearch_topk": simsearch.topk_bruteforce_sql(),
-        "simsearch_ivf": simsearch.topk_ivf_sql(),
+        # trained-centroid IVF (r4): the twin reads the same deterministic
+        # k-means centroid parquet the engine trains, so it's sf_dir-bound
+        "simsearch_ivf": simsearch.topk_ivf_sql(sf_dir=sf_dir),
         "simsearch_sq": simsearch.topk_sq_sql(),
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,

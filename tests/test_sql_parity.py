@@ -177,7 +177,9 @@ def test_topk_ivf_parity(ray_session, parity_dir, con):
     assert len(e) > 0
     _match(
         e,
-        con.sql(topk_ivf_sql(k=3, nq=4, n_centroids=8, nprobe=3)).df(),
+        con.sql(
+            topk_ivf_sql(str(parity_dir), k=3, nq=4, n_centroids=8, nprobe=3)
+        ).df(),
         ["query_id", "rank"],
     )
 
