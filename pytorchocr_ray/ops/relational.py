@@ -448,6 +448,11 @@ def events_sliding(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
 def events_sliding_sql(window_s: int = 3600, hop_s: int = 900) -> str:
     nwin = window_s // hop_s
     hop_us = hop_s * 1_000_000
+    # hop-grid base via FLOOR division in exact integer arithmetic
+    # (e - ((e % h + h) % h)) // h: DuckDB's // truncates toward zero while
+    # the engine's numpy // floors, so the keys diverged for pre-1970
+    # timestamps (ADVICE r3); the mod-correction makes both sides floor.
+    # The later w // 1000000 stays trunc-safe: w is an exact multiple.
     return f"""
 SELECT event_type,
        CAST(w // 1000000 AS BIGINT) AS win_start,
@@ -456,7 +461,8 @@ SELECT event_type,
 FROM (
   SELECT event_type, value,
          unnest(list_transform(range({nwin}),
-                k -> (epoch_us(ts) // {hop_us} - k) * {hop_us})) AS w
-  FROM events)
+                k -> ((e - ((e % {hop_us} + {hop_us}) % {hop_us})) // {hop_us}
+                      - k) * {hop_us})) AS w
+  FROM (SELECT event_type, value, epoch_us(ts) AS e FROM events))
 GROUP BY 1, 2
 """

@@ -246,3 +246,62 @@ def test_multimodal_stub_decode_parity(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(v, vo, check_dtype=False, check_exact=True)
+
+
+def test_topk_sq_parity(ray_session, parity_dir, con):
+    """ADVICE r3: the int8 scalar-quantized variant had no in-repo parity
+    test — regressions only surfaced via the external driver oracle."""
+    from pytorchocr_ray.ops.simsearch import topk_sq, topk_sq_sql
+
+    e = topk_sq(parity_dir, k=3, nq=4).to_pandas()
+    assert len(e) > 0
+    _match(e, con.sql(topk_sq_sql(k=3, nq=4)).df(), ["query_id", "rank"])
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Events spanning BOTH sides of the epoch: pre-1970 timestamps have
+    negative epoch microseconds, where numpy floor-division and DuckDB's
+    truncating // diverge (ADVICE r3) — the SQL twin must floor too."""
+    d = tmp_path_factory.mktemp("events_parity")
+    rng = np.random.default_rng(23)
+    n = 400
+    # half around 1969-12-31, half around 2024; off-grid offsets included
+    neg = rng.integers(-3 * 86400 * 10**6, 0, n // 2)
+    pos = rng.integers(1_700_000_000 * 10**6, 1_700_100_000 * 10**6, n - n // 2)
+    ts = np.concatenate([neg, pos]).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts),
+                "event_type": pa.array(
+                    [f"t{i % 3}" for i in range(n)], pa.string()
+                ),
+                "value": pa.array(rng.uniform(0, 50, n), pa.float64()),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    return str(d)
+
+
+def test_events_sliding_parity_negative_timestamps(ray_session, events_dir):
+    """ADVICE r3 x2: events_sliding had no in-repo parity test, and its
+    SQL twin used truncating division — window keys diverged for pre-1970
+    events. Both fixed; this pins engine == oracle across the epoch."""
+    from pytorchocr_ray.ops.relational import events_sliding, events_sliding_sql
+
+    e = events_sliding(events_dir).to_pandas()
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{events_dir}/events.parquet')"
+    )
+    o = c.sql(events_sliding_sql()).df()
+    assert (e["win_start"] < 0).any()  # negative windows actually exercised
+    ek = e.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+    ok = o.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+    assert list(ek.columns) == list(ok.columns)
+    for col in ("win_start", "n", "sum_cents"):
+        assert ek[col].astype(np.int64).equals(ok[col].astype(np.int64)), col
+    assert ek["event_type"].equals(ok["event_type"])
