@@ -100,7 +100,11 @@ def extract_dataset(
     # O(100) rows. Splitting the read into ~8 blocks per actor keeps the
     # pool busy in many waves (no straggler tail from media-heavy blocks);
     # the knob scales with the pool, not the data size.
-    ds = rd.read_parquet(docs_path, override_num_blocks=conc * 8)
+    # A *.lance docs path routes through the Lance reader when the lib is
+    # present (import-guarded; BASELINE names a Lance table).
+    from ..sources.lance_io import read_table_auto
+
+    ds = read_table_auto(docs_path, override_num_blocks=conc * 8)
     if pre_filter is not None:
         ds = ds.map_batches(pre_filter, batch_format="pyarrow")
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
