@@ -62,7 +62,10 @@ def test_all_sql_oracled_queries_match(ray_session, con):
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    sqls = entrymod.oracle_sql()
+    # sf_dir must match the queries' sf_dir (the oracle contract): the
+    # fixture-backed twins — extraction ground truth, IVF centroid table,
+    # LSH plane count — are derived from it
+    sqls = entrymod.oracle_sql(SF_DIR)
     failures = []
     for name, sql in sqls.items():
         got = _canon(_to_df(qs[name](SF_DIR)))
