@@ -69,6 +69,7 @@ def extract_dataset(
     pre_filter=None,
     reassemble: str = "local",
     media_mode: str = "store",
+    blocks_per_actor: int = 8,
 ):
     """Build the lazy extraction Dataset (flat EXTRACTED_FLAT rows).
 
@@ -104,7 +105,7 @@ def extract_dataset(
     # present (import-guarded; BASELINE names a Lance table).
     from ..sources.lance_io import read_table_auto
 
-    ds = read_table_auto(docs_path, override_num_blocks=conc * 8)
+    ds = read_table_auto(docs_path, override_num_blocks=conc * blocks_per_actor)
     if pre_filter is not None:
         ds = ds.map_batches(pre_filter, batch_format="pyarrow")
     ds = ds.map_batches(explode_spans, batch_format="pyarrow")
