@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8 scalar-quantized variant: exact-integer scores, 4x less
         # data movement than float32 at scale
         "simsearch_sq": simsearch.topk_sq,
+        # product-quantization ADC (r4): m one-byte codes per vector +
+        # per-query LUT gather — the deepest-compression scale path
+        "simsearch_pq": simsearch.topk_pq,
         # multimodal binary-payload stages (stub decoders, SQL-verified)
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -352,6 +355,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # k-means centroid parquet the engine trains, so it's sf_dir-bound
         "simsearch_ivf": simsearch.topk_ivf_sql(sf_dir=sf_dir),
         "simsearch_sq": simsearch.topk_sq_sql(),
+        "simsearch_pq": simsearch.topk_pq_sql(sf_dir=sf_dir),
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "revenue_by_segment_join": relational.REVENUE_BY_SEGMENT_SQL,

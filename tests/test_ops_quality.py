@@ -372,3 +372,20 @@ def test_auto_salts_tracks_cluster():
     for c in (8, 32, 256):
         s = _auto_salts(c)
         assert s & (s - 1) == 0  # so x % s == x & (s-1)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pq_recall_two_corpus_sizes(ray_session, sf_dir):
+    """r4: PQ is the deepest compression (16 bytes/vector, 32x), so the
+    bound is looser than IVF's — it must still put most of the true top-5
+    in its top-5 at both corpus sizes (measured 0.825/0.85 with
+    farthest-point-init codebooks)."""
+    from pytorchocr_ray.ops.simsearch import topk_bruteforce, topk_pq
+
+    exact = topk_bruteforce(sf_dir, k=5, nq=8).to_pandas()
+    approx = topk_pq(sf_dir, k=5, nq=8).to_pandas()
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(e & a) / len(e) >= 0.7

@@ -305,3 +305,17 @@ def test_events_sliding_parity_negative_timestamps(ray_session, events_dir):
     for col in ("win_start", "n", "sum_cents"):
         assert ek[col].astype(np.int64).equals(ok[col].astype(np.int64)), col
     assert ek["event_type"].equals(ok["event_type"])
+
+
+def test_topk_pq_parity(ray_session, parity_dir, con):
+    """r4: product-quantization ADC must be value-exact vs the DuckDB twin
+    reading the same trained codebook parquet."""
+    from pytorchocr_ray.ops.simsearch import topk_pq, topk_pq_sql
+
+    e = topk_pq(parity_dir, k=3, nq=4).to_pandas()
+    assert len(e) > 0
+    _match(
+        e,
+        con.sql(topk_pq_sql(str(parity_dir), k=3, nq=4)).df(),
+        ["query_id", "rank"],
+    )
