@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "term_freq": textstats.term_freq,
         "fingerprint": textstats.fingerprint,
+        # exact global-quantile quality prune (r4): histogram partials ->
+        # bounded threshold -> broadcast filter, no sort
+        "token_quantile_filter": textstats.token_quantile_filter,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_pairs": dedup.minhash_pairs,
@@ -344,6 +347,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "doc_stats": textstats.DOC_STATS_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "term_freq": textstats.term_freq_sql(),
+        "token_quantile_filter": textstats.token_quantile_filter_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_pairs": dedup.minhash_pairs_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),

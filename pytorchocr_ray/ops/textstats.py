@@ -230,3 +230,71 @@ SELECT doc_id,
        END AS fp
 FROM documents
 """
+
+
+# ------------------------------------------- distributed quantile filter
+#
+# The standard quality-threshold prune of an LLM-data pipeline: "drop the
+# bottom pct% of documents by token count".  A global quantile normally
+# needs a full sort; over an INTEGER-valued signal it reduces to a
+# histogram: per-batch value counts (partial aggregation, so the shuffle
+# carries one row per distinct value per block, not per document), one
+# small groupby-sum, and a threshold scan on the driver.  The histogram
+# materialization is bounded by the number of DISTINCT token counts —
+# <= max document length regardless of corpus size (a 100 TB corpus with
+# 100k-token docs yields <= 100k rows) — so this is a justified driver
+# materialize, and the threshold broadcasts back as a plain closure int.
+# Two streamed passes over the pruned (doc_id, text) columns beat one
+# pass + a corpus-sized (doc_id, n_tokens) materialize at scale.
+
+
+def token_quantile_filter(sf_dir: str, pct: int = 10):
+    """Keep documents at or above the exact ``pct``-th percentile of
+    token count: threshold = smallest v with 100*cum_count(v) >= pct*N
+    (all-integer, tie rows at the threshold kept).  Returns
+    (doc_id, n_tokens) for the surviving documents; value-exact DuckDB
+    twin in :func:`token_quantile_filter_sql`."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(_count_re(batch["text"], TOKEN_RE), pa.int64()).to_numpy()
+        v, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {"v": pa.array(v), "c": pa.array(c.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+        .to_pandas()  # bounded: one row per distinct token count
+        .sort_values("v")
+    )
+    cum = hist["sum(c)"].to_numpy(np.int64).cumsum()
+    n_total = int(cum[-1])
+    idx = int(np.searchsorted(100 * cum, pct * n_total, side="left"))
+    thr = int(hist["v"].to_numpy(np.int64)[idx])
+
+    def filter_stage(batch: pa.Table) -> pa.Table:
+        n = pc.cast(_count_re(batch["text"], TOKEN_RE), pa.int64())
+        t = pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+        return t.filter(pc.greater_equal(n, thr))
+
+    return ds.map_batches(filter_stage, batch_format="pyarrow")
+
+
+def token_quantile_filter_sql(pct: int = 10) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+  FROM documents),
+h AS (SELECT n_tokens AS v, count(*) AS c FROM s GROUP BY 1),
+t AS (
+  SELECT v AS thr FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+           (SELECT sum(c) FROM h) AS n
+    FROM h)
+  WHERE 100 * cum >= {pct} * n ORDER BY v LIMIT 1)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+FROM s, t WHERE s.n_tokens >= t.thr
+"""

@@ -319,3 +319,19 @@ def test_topk_pq_parity(ray_session, parity_dir, con):
         con.sql(topk_pq_sql(str(parity_dir), k=3, nq=4)).df(),
         ["query_id", "rank"],
     )
+
+
+@pytest.mark.parametrize("pct", [10, 50])
+def test_token_quantile_filter_parity(ray_session, parity_dir, con, pct):
+    """r4: the histogram-based exact quantile threshold must agree with
+    the SQL window-cumsum twin, including the 1-/2-token edge docs near
+    the bottom of the distribution."""
+    from pytorchocr_ray.ops.textstats import (
+        token_quantile_filter,
+        token_quantile_filter_sql,
+    )
+
+    e = token_quantile_filter(parity_dir, pct=pct).to_pandas()
+    o = con.sql(token_quantile_filter_sql(pct=pct)).df()
+    assert 0 < len(e) < 37  # filter really dropped the bottom tail
+    _match(e, o, ["doc_id"])
