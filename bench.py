@@ -212,6 +212,11 @@ def run_bench() -> dict:
     timed("dedup_exact", lambda: dedup_exact_count(dedup, SF_DIR))
     timed("minhash_pairs", lambda: dedup.minhash_pairs(SF_DIR).count())
     timed("simsearch_topk", lambda: simsearch.topk_bruteforce(SF_DIR).to_pandas())
+    timed("simsearch_pq", lambda: simsearch.topk_pq(SF_DIR).to_pandas())
+    timed(
+        "token_quantile_filter",
+        lambda: textstats.token_quantile_filter(SF_DIR).count(),
+    )
     timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())
     timed("doc_stats", lambda: textstats.doc_stats(SF_DIR).to_pandas())
