@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding (hopping) 1h/15min window — integer-cents sums for
         # association-order-proof exactness
         "events_sliding": relational.events_sliding,
+        # per-group exact quantile (r4): histogram partials + per-key
+        # threshold scan, zero driver-side steps
+        "events_value_quantile": relational.events_value_quantile,
         "user_activity": relational.user_activity,
         "supplier_nation": relational.supplier_nation,
         "sessionize": _sessionize,
@@ -367,6 +370,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "top_orders_per_customer": relational.top_orders_per_customer_sql(),
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sliding": relational.events_sliding_sql(),
+        "events_value_quantile": relational.events_value_quantile_sql(),
         "user_activity": relational.USER_ACTIVITY_SQL,
         "supplier_nation": relational.SUPPLIER_NATION_SQL,
         "sessionize": _sessionize_sql(),

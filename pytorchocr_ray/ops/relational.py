@@ -466,3 +466,76 @@ FROM (
   FROM (SELECT event_type, value, epoch_us(ts) AS e FROM events))
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------- per-group exact quantile
+#
+# The per-key sibling of ops.textstats.token_quantile_filter: an exact
+# percentile PER GROUP with NO driver step at all — per-batch
+# (key, value) histogram partials, one (key, value) groupby-sum, then a
+# per-key map_groups that scans its own (tiny) histogram for the
+# threshold.  The shuffle carries one row per distinct (key, quantized
+# value) per block; the per-key group is bounded by that key's distinct
+# values, never its row count — the shape that survives a skewed
+# 100 TB keyspace.
+
+
+def events_value_quantile(sf_dir: str, pct: int = 90):
+    """(event_type, p_cents, n): the exact ``pct``-th percentile of
+    integer-cents event value per event type — smallest cents c with
+    100 * cum_count(c) >= pct * n_group — plus the group count.
+    Value-exact DuckDB twin in :func:`events_value_quantile_sql`."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # floor(x*100+0.5): the repo-wide float->int-cents convention
+        # (matches DuckDB floor, which rounds toward -inf)
+        df["cents"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        g = df.groupby(["event_type", "cents"], as_index=False).agg(
+            c=("cents", "size")
+        )
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def group_threshold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("cents")
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        idx = int(np.searchsorted(100 * cum, pct * n, side="left"))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p_cents": np.array([g["cents"].to_numpy(np.int64)[idx]]),
+                "n": np.array([n], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(group_threshold, batch_format="pandas")
+    )
+
+
+def events_value_quantile_sql(pct: int = 90) -> str:
+    return f"""
+WITH s AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+h AS (SELECT event_type, cents, count(*) AS c FROM s GROUP BY 1, 2),
+w AS (
+  SELECT event_type, cents,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h)
+SELECT event_type, CAST(min(cents) AS BIGINT) AS p_cents,
+       CAST(min(n) AS BIGINT) AS n
+FROM w WHERE 100 * cum >= {pct} * n GROUP BY 1
+"""

@@ -335,3 +335,28 @@ def test_token_quantile_filter_parity(ray_session, parity_dir, con, pct):
     o = con.sql(token_quantile_filter_sql(pct=pct)).df()
     assert 0 < len(e) < 37  # filter really dropped the bottom tail
     _match(e, o, ["doc_id"])
+
+
+@pytest.mark.parametrize("pct", [50, 90])
+def test_events_value_quantile_parity(ray_session, events_dir, pct):
+    """r4: the per-group exact quantile (per-key histogram + threshold
+    scan, no driver step) must match the SQL partitioned-window twin."""
+    from pytorchocr_ray.ops.relational import (
+        events_value_quantile,
+        events_value_quantile_sql,
+    )
+
+    e = events_value_quantile(events_dir, pct=pct).to_pandas()
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{events_dir}/events.parquet')"
+    )
+    o = c.sql(events_value_quantile_sql(pct=pct)).df()
+    assert len(e) == 3  # one row per event_type
+    ek = e.sort_values("event_type").reset_index(drop=True)
+    ok = o.sort_values("event_type").reset_index(drop=True)
+    assert list(ek.columns) == list(ok.columns)
+    for col in ("p_cents", "n"):
+        assert ek[col].astype(np.int64).equals(ok[col].astype(np.int64)), col
+    assert ek["event_type"].equals(ok["event_type"])
