@@ -244,6 +244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization ADC (r4): m one-byte codes per vector +
         # per-query LUT gather — the deepest-compression scale path
         "simsearch_pq": simsearch.topk_pq,
+        # IVFADC (r4): nprobe-bounded touch set x PQ-bounded touch cost —
+        # the billion-scale layout, both trained fixtures composed
+        "simsearch_ivfpq": simsearch.topk_ivfpq,
         # multimodal binary-payload stages (stub decoders, SQL-verified)
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -363,6 +366,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "simsearch_ivf": simsearch.topk_ivf_sql(sf_dir=sf_dir),
         "simsearch_sq": simsearch.topk_sq_sql(),
         "simsearch_pq": simsearch.topk_pq_sql(sf_dir=sf_dir),
+        "simsearch_ivfpq": simsearch.topk_ivfpq_sql(sf_dir=sf_dir),
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "revenue_by_segment_join": relational.REVENUE_BY_SEGMENT_SQL,

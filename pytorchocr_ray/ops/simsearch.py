@@ -655,3 +655,180 @@ SELECT query_id, vec_id,
 FROM dist
 QUALIFY rank <= {k}
 """
+
+
+# ------------------------------------------------ IVF + PQ (IVFADC, r4)
+#
+# The combination both variants exist for: the IVF coarse quantizer
+# bounds WHICH vectors a query touches (nprobe buckets), the PQ codes
+# bound WHAT each touch costs (m one-byte gathers instead of a d-dim
+# dot).  This is the classic billion-scale ANN layout (IVFADC); codes
+# here are non-residual (encoded against the global PQ codebooks, like
+# FAISS IndexIVFPQ with by_residual=false) so both trained fixtures are
+# reused as-is — residual encoding is the quality upgrade and would need
+# residual-trained codebooks.  Everything stays value-exactly
+# SQL-twinned: bucket assignment/probing reuses the IVF cosine rule,
+# in-bucket scoring the integer ADC rule, over the SAME two parquet
+# fixtures.
+
+
+def topk_ivfpq(
+    sf_dir: str,
+    k: int = 5,
+    nq: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+):
+    """Approximate top-k: probe the query's ``nprobe`` nearest IVF
+    buckets, score only their members by PQ asymmetric distance (exact
+    integers), rank (dist ASC, vec_id ASC).  Distributed as per-batch
+    partial top-k; both quantizers' training is the cached deterministic
+    k-means of their standalone variants."""
+    import ray
+
+    qids, qmat = _load_quantized(sf_dir, nq)
+    cent = _load_centroids(train_ivf_centroids(sf_dir, n_centroids))
+    books = _load_codebooks(train_pq_codebooks(sf_dir, m, pq_k), m, pq_k)
+    dim = qmat.shape[1]
+    d = dim // m
+    lut = np.zeros((len(qids), m, books.shape[1]), dtype=np.int64)
+    for s in range(m):
+        lut[:, s, :] = _sub_l2(qmat[:, s * d : (s + 1) * d], books[s]).astype(
+            np.int64
+        )
+    # probe sets fit on the driver (nq x C); ship one bool mask per query
+    qc = _qcos(qmat, cent)
+    probe_mask = np.zeros((len(qids), cent.shape[0]), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi][
+            np.lexsort((np.arange(cent.shape[0]), -qc[qi]))[:nprobe]
+        ] = True
+    state = ray.put((qids, lut, books, cent, probe_mask))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, lut_, books_, cent_, pmask = ray.get(state)
+        emb = _quantize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m_, _, d_ = books_.shape
+        # one bucket per vector (first max = lowest cid, the IVF rule)
+        vb = _qcos(emb, cent_).argmax(axis=1)
+        codes = np.zeros((len(vids), m_), dtype=np.int64)
+        for s in range(m_):
+            codes[:, s] = _sub_l2(emb[:, s * d_ : (s + 1) * d_], books_[s]).argmin(
+                axis=1
+            )
+        out_q, out_v, out_s = [], [], []
+        sub_idx = np.arange(m_)
+        for qi in range(len(ids)):
+            mask = pmask[qi][vb]
+            if not mask.any():
+                continue
+            dist = lut_[qi][sub_idx[None, :], codes[mask]].sum(axis=1)
+            sub_ids = vids[mask]
+            idx = np.lexsort((sub_ids, dist))[: min(k, len(sub_ids))]
+            out_q.extend([ids[qi]] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(dist[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "dist": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", "vec_id"], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def topk_ivfpq_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 5,
+    nq: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+) -> str:
+    """DuckDB twin of topk_ivfpq: IVF assignment/probing (cosine DESC,
+    cid ASC) from the centroid parquet x PQ code assignment + ADC sums
+    (L2 ASC, code ASC) from the codebook parquet, composed."""
+    cent_path = train_ivf_centroids(sf_dir, n_centroids)
+    cb_path = train_pq_codebooks(sf_dir, m, pq_k)
+    import pyarrow.parquet as pq_
+
+    d = len(pq_.read_table(cb_path).to_pandas()["qd"].iloc[0])
+    cos = (
+        "list_dot_product({a}.qd, {b}.qd) "
+        "/ (sqrt(list_dot_product({a}.qd, {a}.qd)) "
+        "* sqrt(list_dot_product({b}.qd, {b}.qd)))"
+    )
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+  FROM embeddings),
+cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
+         FROM read_parquet('{cent_path}')),
+cb AS (SELECT sub AS s, code,
+              list_transform(qd, x -> CAST(x AS DOUBLE)) AS cq
+       FROM read_parquet('{cb_path}')),
+qv AS (SELECT vec_id AS query_id, qd FROM e WHERE vec_id < {nq}),
+bkt AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v', b='c')} DESC, c.cid ASC) AS rn
+    FROM e v CROSS JOIN cent c) WHERE rn = 1),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q', b='c')} DESC, c.cid ASC) AS rn
+    FROM qv q CROSS JOIN cent c) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, b.vec_id FROM probe p JOIN bkt b ON b.cid = p.cid),
+sub AS (
+  SELECT vec_id, s, qd[(s * {d} + 1):(s * {d} + {d})] AS sq
+  FROM e, (SELECT unnest(range({m})) AS s)),
+asn AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, cb.code,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.s
+             ORDER BY {l2.format(a='sq', b='cq')} ASC, cb.code ASC) AS rn
+    FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, s, sq AS qsq FROM sub WHERE vec_id < {nq}),
+dist AS (
+  SELECT c2.query_id, c2.vec_id,
+         CAST(sum({l2.format(a='qsq', b='cq')}) AS BIGINT) AS dist
+  FROM cand c2
+  JOIN qs ON qs.query_id = c2.query_id
+  JOIN asn a ON a.vec_id = c2.vec_id AND a.s = qs.s
+  JOIN cb ON cb.s = a.s AND cb.code = a.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+       ) AS BIGINT) AS rank
+FROM dist
+QUALIFY rank <= {k}
+"""

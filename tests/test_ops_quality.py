@@ -389,3 +389,19 @@ def test_pq_recall_two_corpus_sizes(ray_session, sf_dir):
     e = set(zip(exact["query_id"], exact["vec_id"]))
     a = set(zip(approx["query_id"], approx["vec_id"]))
     assert len(e & a) / len(e) >= 0.7
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivfpq_recall_two_corpus_sizes(ray_session, sf_dir):
+    """r4: IVFADC compounds two approximations (probe set x PQ codes), so
+    its bound sits below pure PQ's: most of the true top-5 must survive at
+    both corpus sizes."""
+    from pytorchocr_ray.ops.simsearch import topk_bruteforce, topk_ivfpq
+
+    exact = topk_bruteforce(sf_dir, k=5, nq=8).to_pandas()
+    approx = topk_ivfpq(sf_dir, k=5, nq=8).to_pandas()
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(e & a) / len(e) >= 0.5

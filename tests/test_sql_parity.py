@@ -360,3 +360,19 @@ def test_events_value_quantile_parity(ray_session, events_dir, pct):
     for col in ("p_cents", "n"):
         assert ek[col].astype(np.int64).equals(ok[col].astype(np.int64)), col
     assert ek["event_type"].equals(ok["event_type"])
+
+
+def test_topk_ivfpq_parity(ray_session, parity_dir, con):
+    """r4: IVFADC (IVF probe x PQ-ADC scoring) must be value-exact vs the
+    composed DuckDB twin over the same two trained fixture parquets."""
+    from pytorchocr_ray.ops.simsearch import topk_ivfpq, topk_ivfpq_sql
+
+    e = topk_ivfpq(parity_dir, k=3, nq=4, n_centroids=4, nprobe=2).to_pandas()
+    assert len(e) > 0
+    _match(
+        e,
+        con.sql(
+            topk_ivfpq_sql(str(parity_dir), k=3, nq=4, n_centroids=4, nprobe=2)
+        ).df(),
+        ["query_id", "rank"],
+    )
