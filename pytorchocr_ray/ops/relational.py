@@ -503,15 +503,17 @@ def events_value_quantile(sf_dir: str, pct: int = 90):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def group_threshold(group: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import quantile_threshold
+
         g = group.sort_values("cents")
-        cum = g["c"].to_numpy(np.int64).cumsum()
-        n = int(cum[-1])
-        idx = int(np.searchsorted(100 * cum, pct * n, side="left"))
+        c = g["c"].to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]],
-                "p_cents": np.array([g["cents"].to_numpy(np.int64)[idx]]),
-                "n": np.array([n], dtype=np.int64),
+                "p_cents": np.array(
+                    [quantile_threshold(g["cents"].to_numpy(np.int64), c, pct)]
+                ),
+                "n": np.array([int(c.sum())], dtype=np.int64),
             }
         )
 

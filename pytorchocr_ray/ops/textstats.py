@@ -248,6 +248,18 @@ FROM documents
 # pass + a corpus-sized (doc_id, n_tokens) materialize at scale.
 
 
+def quantile_threshold(values: np.ndarray, counts: np.ndarray, pct: int) -> int:
+    """Exact pct-th percentile over an integer histogram: the smallest v
+    with 100 * cum_count(v) >= pct * N (all-integer; equals
+    ``np.percentile(expanded, pct, method="inverted_cdf")`` — the
+    hypothesis property test pins that equivalence).  ``values`` must be
+    sorted ascending with positive ``counts``."""
+    cum = counts.astype(np.int64).cumsum()
+    n = int(cum[-1])
+    idx = int(np.searchsorted(100 * cum, pct * n, side="left"))
+    return int(values[idx])
+
+
 def token_quantile_filter(sf_dir: str, pct: int = 10):
     """Keep documents at or above the exact ``pct``-th percentile of
     token count: threshold = smallest v with 100*cum_count(v) >= pct*N
@@ -270,10 +282,9 @@ def token_quantile_filter(sf_dir: str, pct: int = 10):
         .to_pandas()  # bounded: one row per distinct token count
         .sort_values("v")
     )
-    cum = hist["sum(c)"].to_numpy(np.int64).cumsum()
-    n_total = int(cum[-1])
-    idx = int(np.searchsorted(100 * cum, pct * n_total, side="left"))
-    thr = int(hist["v"].to_numpy(np.int64)[idx])
+    thr = quantile_threshold(
+        hist["v"].to_numpy(np.int64), hist["sum(c)"].to_numpy(np.int64), pct
+    )
 
     def filter_stage(batch: pa.Table) -> pa.Table:
         n = pc.cast(_count_re(batch["text"], TOKEN_RE), pa.int64())

@@ -166,3 +166,72 @@ def test_ctc_decode_no_blank_no_adjacent_repeat(indices, conf):
         prev = i
     assert text == "".join(collapsed)
     assert 0.0 <= p <= 1.0
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=200),
+    st.integers(1, 100),
+)
+def test_quantile_threshold_matches_inverted_cdf(xs, pct):
+    """r4: the shared histogram-threshold rule (token_quantile_filter,
+    events_value_quantile) is exactly numpy's inverted-CDF percentile —
+    the textbook definition 'smallest x with CDF(x) >= q'."""
+    from pytorchocr_ray.ops.textstats import quantile_threshold
+
+    arr = np.asarray(xs, dtype=np.int64)
+    v, c = np.unique(arr, return_counts=True)
+    thr = quantile_threshold(v, c, pct)
+    want = int(np.percentile(arr, pct, method="inverted_cdf"))
+    assert thr == want
+    # defining inequalities, straight from the rule
+    n = len(arr)
+    assert 100 * (arr <= thr).sum() >= pct * n
+    assert 100 * (arr < thr).sum() < pct * n
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(1, 6),
+    st.integers(0, 2**32 - 1),
+)
+def test_sub_l2_exact_integer(n, k, d, seed):
+    """r4: the PQ distance kernel promises exact integers in float64 for
+    quantization-range inputs — check against arbitrary-precision ints."""
+    from pytorchocr_ray.ops.simsearch import _sub_l2
+
+    rng = np.random.default_rng(seed)
+    lim = 2_000_000  # 2x EMB_SCALE headroom
+    x = rng.integers(-lim, lim, (n, d)).astype(np.int64)
+    c = rng.integers(-lim, lim, (k, d)).astype(np.int64)
+    got = _sub_l2(x, c)
+    for i in range(n):
+        for j in range(k):
+            want = sum(
+                (int(a) - int(b)) ** 2 for a, b in zip(x[i], c[j])
+            )  # python ints: no overflow
+            assert int(got[i, j]) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, 30), st.integers(1, 8), st.integers(0, 2**32 - 1))
+def test_fp_init_picks_distinct_input_rows(n, k, seed):
+    """r4: farthest-point init must return k rows of the input, starting
+    at row 0, and never pick the same point twice while distinct points
+    remain."""
+    from pytorchocr_ray.ops.simsearch import _fp_init
+
+    rng = np.random.default_rng(seed)
+    xs = rng.integers(-100, 100, (n, 4)).astype(np.int64)
+    k = min(k, n)
+    out = _fp_init(xs, k)
+    assert out.shape == (k, 4)
+    assert (out[0] == xs[0]).all()
+    rows = {tuple(r) for r in xs.tolist()}
+    for r in out.tolist():
+        assert tuple(int(v) for v in r) in rows
+    n_distinct_in = len(rows)
+    n_distinct_out = len({tuple(r) for r in out.tolist()})
+    assert n_distinct_out == min(k, n_distinct_in)
