@@ -210,7 +210,13 @@ def _evaluate_engine(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
+    from pytorchocr_ray.ops import (
+        dedup,
+        relational,
+        sampling,
+        simsearch,
+        textstats,
+    )
 
     return {
         # flagship extraction — hash-verified against the generator's
@@ -226,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact global-quantile quality prune (r4): histogram partials ->
         # bounded threshold -> broadcast filter, no sort
         "token_quantile_filter": textstats.token_quantile_filter,
+        # deterministic stratified sample (r4): k docs per lang by LCG
+        # scramble — partial top-k per key, <= k rows per (key, block)
+        "sample_per_group": sampling.sample_per_group,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_pairs": dedup.minhash_pairs,
@@ -286,7 +295,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     driver runs ``queries()`` at (ADVICE r2: the fixture-backed oracles —
     extraction ground truth, pubtab expected table, audio/video synth
     parquet — are derived from it, not pinned to sf0.01)."""
-    from pytorchocr_ray.ops import dedup, relational, simsearch, textstats
+    from pytorchocr_ray.ops import (
+        dedup,
+        relational,
+        sampling,
+        simsearch,
+        textstats,
+    )
 
     # The flagship extraction oracle is the generator's GROUND-TRUTH span
     # table (normalized text spans + rendered transcripts in reading
@@ -354,6 +369,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lang_id": textstats.LANG_ID_SQL,
         "term_freq": textstats.term_freq_sql(),
         "token_quantile_filter": textstats.token_quantile_filter_sql(),
+        "sample_per_group": sampling.sample_per_group_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_pairs": dedup.minhash_pairs_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),

@@ -29,3 +29,66 @@ def train_val_split(ds, val_ratio: float = 0.1, seed: int = 2022):
     shuffled = ds.random_shuffle(seed=seed)
     train, val = shuffled.split_proportionately([1.0 - val_ratio])
     return train, val
+
+
+# ------------------------------------------ per-group deterministic sample
+#
+# "k examples per domain" — the stratified-sampling primitive a training
+# pipeline uses to cap any one source's contribution.  Determinism comes
+# from ordering by an LCG scramble of doc_id instead of an RNG, which
+# makes the sample reproducible across runs/cluster sizes AND value-exact
+# against a SQL twin.  Distribution shape: per-batch partial top-k per
+# key (the shuffle carries <= k rows per (key, block), never the corpus),
+# then a per-key merge.
+
+SAMPLE_A = 1103515245  # classic LCG multiplier (glibc)
+SAMPLE_C = 12345
+SAMPLE_M = 2147483647  # 2^31 - 1, shared with ops/hashing's M31
+
+
+def sample_per_group(sf_dir: str, k: int = 10):
+    """(doc_id, lang, rn): the k documents per language with the smallest
+    scrambled-id order — a deterministic stratified sample.  Exact twin
+    in :func:`sample_per_group_sql`."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from . import read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy(np.int64)
+        # ids are < 2^32 here, so id*A < 2^63: exact in int64, and DuckDB
+        # BIGINT arithmetic reproduces it bit-for-bit
+        df["h"] = (ids * SAMPLE_A + SAMPLE_C) % SAMPLE_M
+        df = df.sort_values(["lang", "h", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).head(k), preserve_index=False
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "lang", "rn"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def sample_per_group_sql(k: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {SAMPLE_A} + {SAMPLE_C}) % {SAMPLE_M} ASC,
+                    doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= {k}
+"""

@@ -376,3 +376,25 @@ def test_topk_ivfpq_parity(ray_session, parity_dir, con):
         ).df(),
         ["query_id", "rank"],
     )
+
+
+def test_sample_per_group_parity(ray_session):
+    """r4: the LCG-scrambled stratified sample must be value-exact vs the
+    window twin, per language, on the shipped testdata."""
+    from pytorchocr_ray.ops.sampling import sample_per_group, sample_per_group_sql
+
+    sf = "/root/testdata/sf0.001"
+    e = sample_per_group(sf, k=7).to_pandas()
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    o = c.sql(sample_per_group_sql(k=7)).df()
+    assert set(e["lang"]) == {"en", "de", "fr", "es", "zh"}
+    assert (e.groupby("lang").size() == 7).all()
+    ek = e.sort_values(["lang", "rn"]).reset_index(drop=True)
+    ok = o.sort_values(["lang", "rn"]).reset_index(drop=True)
+    assert list(ek.columns) == list(ok.columns)
+    assert (ek["doc_id"].to_numpy() == ok["doc_id"].to_numpy()).all()
+    assert (ek["rn"].to_numpy() == ok["rn"].to_numpy()).all()
