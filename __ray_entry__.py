@@ -6,7 +6,9 @@ The driver initialises Ray itself; nothing here (or in the library) calls
 * ``entry()`` — flagship interleaved-corpus extraction at sf0.001 scale.
 * ``queries()`` — every implemented operator/pipeline (SURVEY.md §2 +
   training-data ops), each a callable of ``sf_dir``.
-* ``oracle_sql()`` — DuckDB twins for EVERY query (round 3: 34/34).
+* ``oracle_sql()`` — DuckDB twins for EVERY query (round 3: 34/34;
+  round 4 adds simsearch_pq / simsearch_ivfpq / token_quantile_filter /
+  events_value_quantile / sample_per_group -> 39/39).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
