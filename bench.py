@@ -321,8 +321,11 @@ def run_scaling() -> dict:
     return res
 
 
-def _update_baseline_md(res: dict, lo: dict, hi: dict) -> None:
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+def _update_baseline_md(res: dict, lo: dict, hi: dict, path: str | None = None) -> None:
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"
+        )
     marker = "## Measured results (bench.py --scaling)"
     block = f"""{marker}
 
