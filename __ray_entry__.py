@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic stratified sample (r4): k docs per lang by LCG
         # scramble — partial top-k per key, <= k rows per (key, block)
         "sample_per_group": sampling.sample_per_group,
+        # HyperLogLog distinct-token registers (r4): order-independent
+        # max() sketch, deterministic -> hash-verified like exact ops
+        "distinct_token_sketch": textstats.distinct_token_sketch,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_pairs": dedup.minhash_pairs,
@@ -372,6 +375,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "term_freq": textstats.term_freq_sql(),
         "token_quantile_filter": textstats.token_quantile_filter_sql(),
         "sample_per_group": sampling.sample_per_group_sql(),
+        "distinct_token_sketch": textstats.distinct_token_sketch_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_pairs": dedup.minhash_pairs_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),

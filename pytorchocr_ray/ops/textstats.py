@@ -309,3 +309,94 @@ t AS (
 SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
 FROM s, t WHERE s.n_tokens >= t.thr
 """
+
+
+# -------------------------------------- distinct-count sketch (HLL, r4)
+#
+# Cardinality estimation without the exact-distinct shuffle: a
+# HyperLogLog register table over the corpus's token hashes.  The whole
+# sketch is DETERMINISTIC — the register update is max(), which is
+# associative, commutative and idempotent, so the result is independent
+# of batching/block order and hash-verifiable against a DuckDB twin
+# computing the same registers from the same polynomial hash.  At scale
+# this replaces `count(DISTINCT token)`'s full shuffle with one
+# m-row aggregate (partial max per batch, then groupby(bucket).max).
+# Bit length parity: numpy frexp's exponent == len(DuckDB bin(w)) for
+# w >= 1 (both are the IEEE exponent of an exactly-representable int).
+
+HLL_BUCKETS = 64
+
+
+def _hll_maxbits(m: int) -> int:
+    from .hashing import M31
+
+    return ((M31 - 1) // m).bit_length()
+
+
+def distinct_token_sketch(sf_dir: str, m: int = HLL_BUCKETS):
+    """(bucket, rho): HyperLogLog registers over distinct-token hashes —
+    bucket = h % m, rho = leading-zero rank of w = h // m within its
+    ``maxbits`` domain (all-zero w -> maxbits + 1).  Only observed
+    buckets appear (same in the twin).  The estimate derived from these
+    registers is tested within tolerance of the exact distinct count."""
+    from .hashing import poly_hash_strings, tokenize_batch
+
+    maxbits = _hll_maxbits(m)
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokenize_batch(batch["text"].to_pylist())
+        if not flat:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+            )
+        h = poly_hash_strings(flat)
+        bucket = h % m
+        w = h // m
+        bl = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+        rho = np.where(w == 0, maxbits + 1, maxbits - bl + 1)
+        df = pd.DataFrame({"bucket": bucket, "rho": rho})
+        g = df.groupby("bucket", as_index=False)["rho"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"bucket": batch["bucket"], "rho": batch["max(rho)"]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("rho")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def distinct_token_sketch_sql(m: int = HLL_BUCKETS) -> str:
+    from .hashing import sql_char_hash, sql_tokens
+
+    maxbits = _hll_maxbits(m)
+    toks = sql_tokens("text")
+    return f"""
+WITH t AS (
+  SELECT unnest({toks}) AS tok FROM documents),
+h AS (SELECT {sql_char_hash('tok')} AS h FROM t)
+SELECT h % {m} AS bucket,
+       CAST(max(CASE WHEN h // {m} = 0 THEN {maxbits + 1}
+                ELSE {maxbits} - length(bin(h // {m})) + 1 END) AS BIGINT)
+         AS rho
+FROM h GROUP BY 1
+"""
+
+
+def hll_estimate(registers: dict[int, int], m: int = HLL_BUCKETS) -> float:
+    """Standard HLL estimator from a (bucket -> rho) register table
+    (missing buckets count as rho = 0), with the small-range
+    linear-counting correction."""
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if b not in registers)
+    if est < 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

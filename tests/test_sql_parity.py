@@ -398,3 +398,28 @@ def test_sample_per_group_parity(ray_session):
     assert list(ek.columns) == list(ok.columns)
     assert (ek["doc_id"].to_numpy() == ok["doc_id"].to_numpy()).all()
     assert (ek["rn"].to_numpy() == ok["rn"].to_numpy()).all()
+
+
+def test_distinct_token_sketch_parity_and_estimate(ray_session, parity_dir, con):
+    """r4: the HLL register table must be value-exact vs the DuckDB twin
+    (max() is order-independent, so batching can't perturb it), and the
+    estimate derived from the registers must land near the true distinct
+    token count."""
+    from pytorchocr_ray.ops.textstats import (
+        distinct_token_sketch,
+        distinct_token_sketch_sql,
+        hll_estimate,
+    )
+
+    e = distinct_token_sketch(parity_dir).to_pandas()
+    o = con.sql(distinct_token_sketch_sql()).df()
+    assert len(e) > 0
+    _match(e, o, ["bucket"])
+    regs = dict(zip(e["bucket"].astype(int), e["rho"].astype(int)))
+    est = hll_estimate(regs)
+    truth = con.sql(
+        "SELECT count(DISTINCT t) FROM (SELECT unnest(string_split_regex("
+        "text, '\\s+')) AS t FROM documents WHERE length(text) > 0) "
+        "WHERE t != ''"
+    ).fetchone()[0]
+    assert 0.6 * truth <= est <= 1.4 * truth, (est, truth)
