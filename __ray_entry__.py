@@ -8,7 +8,8 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   training-data ops), each a callable of ``sf_dir``.
 * ``oracle_sql()`` — DuckDB twins for EVERY query (round 3: 34/34;
   round 4 adds simsearch_pq / simsearch_ivfpq / token_quantile_filter /
-  events_value_quantile / sample_per_group -> 39/39).
+  events_value_quantile / sample_per_group / distinct_token_sketch
+  -> 40/40).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
