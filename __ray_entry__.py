@@ -9,7 +9,7 @@ The driver initialises Ray itself; nothing here (or in the library) calls
 * ``oracle_sql()`` — DuckDB twins for EVERY query (round 3: 34/34;
   round 4 adds simsearch_pq / simsearch_ivfpq / token_quantile_filter /
   events_value_quantile / sample_per_group / distinct_token_sketch /
-  countmin_sketch -> 41/41).
+  countmin_sketch / bloom_incremental_dedup -> 42/42).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -246,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_sketch": textstats.countmin_sketch,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        # incremental dedup vs a corpus snapshot (r4): Bloom bitset over
+        # reference fingerprints, broadcast membership flag on new docs
+        "bloom_incremental_dedup": dedup.bloom_incremental_dedup,
         "minhash_pairs": dedup.minhash_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup": dedup.embedding_neardup,
@@ -382,6 +385,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinct_token_sketch": textstats.distinct_token_sketch_sql(),
         "countmin_sketch": textstats.countmin_sketch_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "bloom_incremental_dedup": dedup.bloom_incremental_dedup_sql(),
         "minhash_pairs": dedup.minhash_pairs_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),
         "embedding_neardup": dedup.embedding_neardup_sql(sf_dir=sf_dir),

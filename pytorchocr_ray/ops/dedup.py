@@ -1280,3 +1280,120 @@ labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
 SELECT d.doc_id AS doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 """
+
+
+# -------------------------------- incremental dedup (Bloom filter, r4)
+#
+# Every other dedup op here is WITHIN-corpus; real pipelines also need
+# the incremental question — "is this new document already in the corpus
+# snapshot we processed last month?" — without re-shuffling the old
+# corpus.  A Bloom filter answers it in fixed memory: the reference
+# side's fingerprints set k bit positions in an m-bit array (a DISTINCT
+# over <= m ints — bounded regardless of corpus size, ~8 KB/2^16 bits,
+# broadcastable at any practical m), and the new side checks its k
+# positions against the broadcast bitset.  Everything is integer
+# arithmetic over the SQL-expressible fingerprint, so the flag column is
+# value-exact against the DuckDB twin.  No false negatives by
+# construction; false-positive rate ~ (set_bits/m)^k.
+
+BLOOM_M = 65536  # bits
+BLOOM_HASHES = ((1, 0), (31, 7), (69069, 5))  # (a_j, c_j)
+
+
+def _bloom_bits(fp: "np.ndarray", m: int) -> "np.ndarray":
+    """(n, k) bit positions for int64 fingerprints."""
+    from .hashing import M31
+
+    return np.stack(
+        [((a * fp + c) % M31) % m for a, c in BLOOM_HASHES], axis=1
+    )
+
+
+def bloom_incremental_dedup(sf_dir: str, m: int = BLOOM_M):
+    """(doc_id, fp, flagged): split the corpus deterministically
+    (doc_id % 2 == 0 -> reference snapshot, == 1 -> new batch), build a
+    Bloom bitset over the reference fingerprints, and flag each new doc
+    whose fingerprint hits all k reference bits (flagged=1 => possible
+    duplicate of the snapshot; 0 => definitely new).  Exact twin in
+    :func:`bloom_incremental_dedup_sql`."""
+    import ray
+
+    from ..ops import read
+    from .hashing import poly_hash_segments, poly_hash_strings, tokenize_batch
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        flat, lens = tokenize_batch(batch["text"].to_pylist())
+        th = poly_hash_strings(flat)
+        fps = poly_hash_segments(th, lens).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp": pa.array(fps)}
+        )
+
+    fps = ds.map_batches(fp_batch, batch_format="pyarrow")
+
+    def ref_bits(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        fp = np.asarray(batch["fp"].to_pylist(), dtype=np.int64)
+        fp = fp[ids % 2 == 0]
+        bits = np.unique(_bloom_bits(fp, m)) if len(fp) else np.array([], np.int64)
+        return pa.table({"bit": pa.array(bits.astype(np.int64))})
+
+    # the fp table feeds BOTH the bitset build and the flag pass (diamond
+    # DAG): materialize once (16 B/doc — ~1% of text bytes, spills fine)
+    # instead of re-fingerprinting the corpus per consumer; the bits
+    # table below is bounded at <= m distinct ints regardless of corpus
+    # size, so pulling it to the driver is justified
+    fps = fps.materialize()
+    bit_rows = (
+        fps.map_batches(ref_bits, batch_format="pyarrow").groupby("bit").count()
+    )
+    bitset = np.zeros(m, dtype=bool)
+    bdf = bit_rows.to_pandas()
+    if len(bdf):
+        bitset[bdf["bit"].to_numpy(np.int64)] = True
+    bits_ref = ray.put(bitset)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bits_ref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        fp = np.asarray(batch["fp"].to_pylist(), dtype=np.int64)
+        new_mask = ids % 2 == 1
+        ids, fp = ids[new_mask], fp[new_mask]
+        flagged = (
+            bs[_bloom_bits(fp, m)].all(axis=1).astype(np.int64)
+            if len(fp)
+            else np.array([], np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "fp": pa.array(fp),
+                "flagged": pa.array(flagged),
+            }
+        )
+
+    return fps.map_batches(flag, batch_format="pyarrow")
+
+
+def bloom_incremental_dedup_sql(m: int = BLOOM_M) -> str:
+    from ..ops.textstats import fingerprint_sql
+    from .hashing import M31
+
+    bit = "(({a} * fp + {c}) % " + str(M31) + ") % " + str(m)
+    ref_arms = "\nUNION\n".join(
+        f"SELECT DISTINCT {bit.format(a=a, c=c)} AS bit FROM ref"
+        for a, c in BLOOM_HASHES
+    )
+    hits = " AND ".join(
+        f"{bit.format(a=a, c=c)} IN (SELECT bit FROM bits)"
+        for a, c in BLOOM_HASHES
+    )
+    return f"""
+WITH fp AS ({fingerprint_sql()}),
+ref AS (SELECT fp FROM fp WHERE doc_id % 2 = 0),
+bits AS ({ref_arms})
+SELECT doc_id, fp, CAST(({hits}) AS BIGINT) AS flagged
+FROM fp WHERE doc_id % 2 = 1
+"""

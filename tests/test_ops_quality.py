@@ -405,3 +405,17 @@ def test_ivfpq_recall_two_corpus_sizes(ray_session, sf_dir):
     e = set(zip(exact["query_id"], exact["vec_id"]))
     a = set(zip(approx["query_id"], approx["vec_id"]))
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_bloom_incremental_flags_cross_half_dup(ray_session, crafted_dir):
+    """r4: both cross-half exact dups must be flagged by the Bloom
+    membership test — 45 (new half) duplicates reference doc 10, and 11
+    (new half) is duplicated BY reference doc 46 — while distinct new
+    docs must not be (FP rate ~(set_bits/m)^3 ~ 1e-6 here)."""
+    from pytorchocr_ray.ops.dedup import bloom_incremental_dedup
+
+    out = bloom_incremental_dedup(crafted_dir).to_pandas()
+    flags = dict(zip(out["doc_id"], out["flagged"]))
+    assert flags[45] == 1 and flags[11] == 1
+    others = [d for d in flags if d not in (45, 11)]
+    assert others and all(flags[d] == 0 for d in others)

@@ -450,3 +450,20 @@ def test_countmin_sketch_parity_and_estimates(ray_session, parity_dir, con):
         est = countmin_estimate(e, tok)
         assert est >= truth[tok], tok  # never underestimates
         assert est <= truth[tok] + n, tok  # trivially bounded, sane lut
+
+
+def test_bloom_incremental_dedup_parity(ray_session, parity_dir, con):
+    """r4: the Bloom membership flag must be value-exact vs the DuckDB
+    twin on a corpus with a planted cross-half exact dup (doc 34, even ->
+    reference half, duplicates doc 7, odd -> new half, so 7 is
+    flagged)."""
+    from pytorchocr_ray.ops.dedup import (
+        bloom_incremental_dedup,
+        bloom_incremental_dedup_sql,
+    )
+
+    e = bloom_incremental_dedup(parity_dir).to_pandas()
+    o = con.sql(bloom_incremental_dedup_sql()).df()
+    assert len(e) > 0
+    assert e["flagged"].sum() >= 1  # the planted cross-half dup is seen
+    _match(e, o, ["doc_id"])
