@@ -9,7 +9,8 @@ The driver initialises Ray itself; nothing here (or in the library) calls
 * ``oracle_sql()`` — DuckDB twins for EVERY query (round 3: 34/34;
   round 4 adds simsearch_pq / simsearch_ivfpq / token_quantile_filter /
   events_value_quantile / sample_per_group / distinct_token_sketch /
-  countmin_sketch / bloom_incremental_dedup -> 42/42).
+  countmin_sketch / bloom_incremental_dedup / tfidf_top_terms
+  -> 43/43).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -244,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min frequency sketch (r4): d x w counter table, sums are
         # order-independent -> deterministic and hash-verified
         "countmin_sketch": textstats.countmin_sketch,
+        # per-doc TF-IDF keyword extraction (r4): integer idf surrogate,
+        # broadcast df map, per-doc top-k
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         # incremental dedup vs a corpus snapshot (r4): Bloom bitset over
@@ -384,6 +388,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "sample_per_group": sampling.sample_per_group_sql(),
         "distinct_token_sketch": textstats.distinct_token_sketch_sql(),
         "countmin_sketch": textstats.countmin_sketch_sql(),
+        "tfidf_top_terms": textstats.tfidf_top_terms_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "bloom_incremental_dedup": dedup.bloom_incremental_dedup_sql(),
         "minhash_pairs": dedup.minhash_pairs_sql(),

@@ -492,3 +492,121 @@ def countmin_estimate(table: pd.DataFrame, token: str, w: int = CM_WIDTH) -> int
     return min(
         lut.get((i, ((a * h + b) % M31) % w), 0) for i, (a, b) in enumerate(CM_ROWS)
     )
+
+
+# ------------------------------------ TF-IDF keyword extraction (r4)
+#
+# Per-document top terms by TF-IDF — the keyword-extraction /
+# doc-representation primitive.  The IDF uses an INTEGER surrogate,
+# idf_q = (N * 1000) // df (monotone in ln(N/df)), because a float ln
+# would make the oracle comparison hinge on libm last-ulp agreement;
+# with the surrogate every score is an exact int64 and the DuckDB twin
+# is value-exact.  Shape: per-batch (doc, token, tf) explode (no
+# shuffle — a doc lives in one batch), one token-keyed aggregate for
+# df, the df map broadcast once (vocabulary-bounded — the same
+# justification as term_freq's output; a 10^8-token vocab would switch
+# to the co-partitioned token join already demonstrated by
+# revenue_by_segment_join), then per-doc top-k.
+
+IDF_SCALE = 1000
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """(doc_id, token, score, rank): each document's top-k tokens by
+    tf * ((N * {IDF_SCALE}) // df), rank by (score DESC, token ASC).
+    Exact twin in :func:`tfidf_top_terms_sql`."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], "[^A-Za-z0-9]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64), lens
+        )
+        flat = pc.list_flatten(toks).to_pandas()
+        df = pd.DataFrame({"doc_id": ids, "token": flat})
+        df = df[df["token"] != ""]
+        g = df.groupby(["doc_id", "token"], as_index=False).size()
+        g = g.rename(columns={"size": "tf"})
+        g["tf"] = g["tf"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # (doc, token, tf) feeds both df-counting and scoring: materialize
+    # once (distinct pairs — far smaller than the token stream)
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    n_docs = read(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def presence(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": batch["token"],
+                "c": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    # df map: vocabulary-bounded driver materialize + one broadcast
+    df_tbl = (
+        tf.map_batches(presence, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="df"))
+        .to_pandas()
+    )
+    idf_q = {
+        t: (n_docs * IDF_SCALE) // int(d)
+        for t, d in zip(df_tbl["token"], df_tbl["df"])
+    }
+    idf_ref = ray.put(idf_q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(idf_ref)
+        toks = batch["token"].to_pylist()
+        tfs = np.asarray(batch["tf"].to_pylist(), dtype=np.int64)
+        s = tfs * np.fromiter(
+            (lut[t] for t in toks), dtype=np.int64, count=len(toks)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "token": batch["token"],
+                "score": pa.array(s),
+            }
+        )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["score", "token"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "token", "score", "rank"]]
+
+    return (
+        tf.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, token, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ((n.n * {IDF_SCALE}) // df.df) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ((n.n * {IDF_SCALE}) // df.df) DESC,
+                    tf.token ASC) AS rank
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+WHERE rank <= {k}
+"""

@@ -467,3 +467,20 @@ def test_bloom_incremental_dedup_parity(ray_session, parity_dir, con):
     assert len(e) > 0
     assert e["flagged"].sum() >= 1  # the planted cross-half dup is seen
     _match(e, o, ["doc_id"])
+
+
+def test_tfidf_top_terms_parity(ray_session, parity_dir, con):
+    """r4: per-doc TF-IDF top terms with the integer idf surrogate must
+    be value-exact vs the DuckDB twin (scores are pure int64, so no
+    transcendental parity is involved)."""
+    from pytorchocr_ray.ops.textstats import tfidf_top_terms, tfidf_top_terms_sql
+
+    e = tfidf_top_terms(parity_dir, k=3).to_pandas()
+    o = con.sql(tfidf_top_terms_sql(k=3)).df()
+    assert len(e) > 0
+    ek = e.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    ok = o.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert list(ek.columns) == list(ok.columns)
+    for col in ("doc_id", "score", "rank"):
+        assert ek[col].astype(np.int64).equals(ok[col].astype(np.int64)), col
+    assert ek["token"].equals(ok["token"])
