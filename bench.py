@@ -217,6 +217,15 @@ def run_bench() -> dict:
         "token_quantile_filter",
         lambda: textstats.token_quantile_filter(SF_DIR).count(),
     )
+    timed(
+        "distinct_token_sketch",
+        lambda: textstats.distinct_token_sketch(SF_DIR).count(),
+    )
+    timed("tfidf_top_terms", lambda: textstats.tfidf_top_terms(SF_DIR).count())
+    timed(
+        "bloom_incremental",
+        lambda: dedup.bloom_incremental_dedup(SF_DIR).count(),
+    )
     timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())
     timed("doc_stats", lambda: textstats.doc_stats(SF_DIR).to_pandas())
