@@ -45,6 +45,24 @@ def read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(path, columns=columns, **kw)
 
 
+def table_rows(sf_dir: str, table: str):
+    """Row count from parquet FOOTER METADATA (no data read) — None when
+    the table isn't a single local file (sharded dirs: caller falls back
+    to its conservative path).  Used for cheap can-this-exceed-a-cap
+    gates like simhash_pairs' hot-bucket pre-pass."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.isfile(path):
+        return None
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def pool_size(cap: int = 8) -> int:
     """Actor-pool size that always leaves CPUs for the read/shuffle stages —
     a pool reserving every CPU starves upstream tasks and stalls the

@@ -135,8 +135,61 @@ def _load_quantized(sf_dir: str, upto: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-IVF_SAMPLE = 256
+# r5: 512 (was 256) — the strided sampler spreads these rows over the
+# whole corpus instead of consuming the head, and the k-means cost
+# (sample x C) stays trivial; still a bounded driver-side sample at 100 TB
+IVF_SAMPLE = 512
 IVF_ITERS = 8
+
+
+def _content_sig(sf_dir: str) -> str:
+    """Cheap content signature of the corpus (size + mtime of
+    embeddings.parquet), folded into every trained-fixture cache tag so
+    regenerating the corpus IN PLACE at the same path busts the cache
+    (ADVICE r4: the path+params+source key silently reused stale
+    quantizers after an in-place rewrite)."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _load_train_sample(
+    sf_dir: str, sample_n: int, mode: str = "strided"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Corpus-wide deterministic training sample (VERDICT r4 #2): stride
+    over the dense vec_id space (keep ``vec_id % stride == 0``) so every
+    id range contributes rows — a corpus sorted/clustered by source no
+    longer trains the quantizers on one stratum, and the sample is still
+    a pure function of the corpus (no RNG), so the trained fixtures stay
+    SQL-twinnable.  The scan is one column-pruned streaming pass with the
+    modulo filter applied per record batch (memory bounded by the kept
+    rows).  ``mode="head"`` keeps the r4 first-rows behavior — used only
+    by the skew-bias regression test as the strawman."""
+    if mode == "head":
+        return _load_quantized(sf_dir, sample_n)
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    # ceiling stride: floor would degenerate to stride 1 (= head sample,
+    # just truncated) whenever sample_n > n/2; with the ceiling the kept
+    # rows always span the full id range at ~n/stride <= sample_n rows
+    stride = max(1, -(-n // sample_n))
+    # dataset expressions have no modulo kernel: stream record batches and
+    # filter each with numpy (memory bounded by the ~sample_n kept rows)
+    kept = []
+    for b in pds.dataset(path).to_batches(columns=["vec_id", "embedding"]):
+        mask = (b.column("vec_id").to_numpy() % stride) == 0
+        if mask.any():
+            kept.append(pa.Table.from_batches([b]).filter(pa.array(mask)))
+    t = pa.concat_tables(kept)
+    df = t.to_pandas().sort_values("vec_id").head(sample_n)
+    return (
+        df["vec_id"].to_numpy(np.int64),
+        _quantize(np.asarray(df["embedding"].tolist(), dtype=np.float64)),
+    )
 
 
 def train_ivf_centroids(
@@ -144,20 +197,23 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     sample_n: int = IVF_SAMPLE,
     iters: int = IVF_ITERS,
+    sample_mode: str = "strided",
 ) -> str:
-    """Deterministic Lloyd's k-means over the quantized HEAD SAMPLE of the
-    corpus -> centroids parquet path (``cid``, ``qd list<int64>``).
+    """Deterministic Lloyd's k-means over a strided corpus-wide sample
+    -> centroids parquet path (``cid``, ``qd list<int64>``).
 
     Round 4 (VERDICT r3 #5): replaces the first-``n_centroids``-rows
-    quantizer — honest but skew-blind — with trained centroids.  Fully
-    deterministic (head sample, first-k init, fixed iteration count,
-    integer-quantized updates) so the DuckDB twin can read the SAME
-    centroid table from this parquet and reproduce assignment, probing
-    and ranking value-exactly.  Cached under /tmp keyed by params + the
-    module source (auto-busts on edit), with a ``_SUCCESS`` marker for
-    crash safety — training is driver-side on the bounded sample; at
-    100 TB the sample read is still one predicate-pushdown parquet scan.
-    """
+    quantizer — honest but skew-blind — with trained centroids.  Round 5
+    (VERDICT r4 #2): the training sample strides the whole corpus instead
+    of taking the head rows.  Fully deterministic (strided sample,
+    first-k init, fixed iteration count, integer-quantized updates) so
+    the DuckDB twin can read the SAME centroid table from this parquet
+    and reproduce assignment, probing and ranking value-exactly.  Cached
+    under /tmp keyed by params + the module source + a corpus content
+    signature (auto-busts on edit OR in-place data regen), with a
+    ``_SUCCESS`` marker for crash safety — training is driver-side on the
+    bounded sample; at 100 TB the sample read is still one column-pruned
+    streaming scan."""
     import hashlib
     import os
 
@@ -168,13 +224,14 @@ def train_ivf_centroids(
         open(os.path.abspath(__file__), "rb").read()
     ).hexdigest()[:12]
     tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n_centroids}|{sample_n}|{iters}|{src}".encode()
+        f"{os.path.abspath(sf_dir)}|{n_centroids}|{sample_n}|{iters}|{src}"
+        f"|{sample_mode}|{_content_sig(sf_dir)}".encode()
     ).hexdigest()[:16]
     out_dir = os.path.join("/tmp", "pytorchocr_ivf", tag)
     path = os.path.join(out_dir, "centroids.parquet")
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return path
-    _ids, x = _load_quantized(sf_dir, sample_n)
+    _ids, x = _load_train_sample(sf_dir, sample_n, sample_mode)
     n_centroids = min(n_centroids, len(x))
     cent = x[:n_centroids].astype(np.float64)  # first-k init, deterministic
     for _ in range(iters):
@@ -185,8 +242,13 @@ def train_ivf_centroids(
             members = x[assign == c]
             if len(members):
                 # integer-quantized update: the stored centroid is exactly
-                # what the SQL twin reads back
-                cent[c] = np.floor(members.mean(axis=0) + 0.5)
+                # what the SQL twin reads back.  Guard (ADVICE r4): a
+                # floored mean that cancels to the zero vector would make
+                # _qcos emit NaN (0/0) and silently diverge from the SQL
+                # twin's NULL ordering — keep the previous centroid.
+                upd = np.floor(members.mean(axis=0) + 0.5)
+                if np.any(upd):
+                    cent[c] = upd
     os.makedirs(out_dir, exist_ok=True)
     t = pa.table(
         {
@@ -458,33 +520,11 @@ def _fp_init(xs: np.ndarray, k: int) -> np.ndarray:
     return xs[idx].astype(np.float64)
 
 
-def train_pq_codebooks(
-    sf_dir: str,
-    m: int = PQ_M,
-    k: int = PQ_K,
-    sample_n: int = PQ_SAMPLE,
-    iters: int = IVF_ITERS,
-) -> str:
-    """Per-subspace deterministic k-means -> codebook parquet path
-    (``sub``, ``code``, ``qd list<int64>``); cached like the IVF
-    centroids (params + module-source key, crash-safe marker)."""
-    import hashlib
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    src = hashlib.sha256(
-        open(os.path.abspath(__file__), "rb").read()
-    ).hexdigest()[:12]
-    tag = hashlib.sha256(
-        f"pq|{os.path.abspath(sf_dir)}|{m}|{k}|{sample_n}|{iters}|{src}".encode()
-    ).hexdigest()[:16]
-    out_dir = os.path.join("/tmp", "pytorchocr_pq", tag)
-    path = os.path.join(out_dir, "codebooks.parquet")
-    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        return path
-    _ids, x = _load_quantized(sf_dir, sample_n)
+def _kmeans_codebooks(x: np.ndarray, m: int, k: int, iters: int):
+    """Per-subspace deterministic k-means (farthest-point init, first-min
+    tie rule, integer-quantized updates) over the rows of ``x`` —
+    shared by the global-PQ and residual-PQ trainers.  Returns the
+    (sub, code, qd) column lists for the codebook parquet."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
@@ -506,6 +546,16 @@ def train_pq_codebooks(
             subs.append(s)
             codes.append(c)
             vecs.append(cent[c].astype(np.int64))
+    return subs, codes, vecs
+
+
+def _write_codebooks(subs, codes, vecs, out_dir: str) -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "codebooks.parquet")
     os.makedirs(out_dir, exist_ok=True)
     t = pa.table(
         {
@@ -520,6 +570,78 @@ def train_pq_codebooks(
     with open(os.path.join(out_dir, "_SUCCESS"), "w"):
         pass
     return path
+
+
+def train_pq_codebooks(
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_n: int = PQ_SAMPLE,
+    iters: int = IVF_ITERS,
+    sample_mode: str = "strided",
+) -> str:
+    """Per-subspace deterministic k-means -> codebook parquet path
+    (``sub``, ``code``, ``qd list<int64>``); cached like the IVF
+    centroids (params + module source + corpus content signature,
+    crash-safe marker); trains on the strided corpus-wide sample."""
+    import hashlib
+    import os
+
+    src = hashlib.sha256(
+        open(os.path.abspath(__file__), "rb").read()
+    ).hexdigest()[:12]
+    tag = hashlib.sha256(
+        f"pq|{os.path.abspath(sf_dir)}|{m}|{k}|{sample_n}|{iters}|{src}"
+        f"|{sample_mode}|{_content_sig(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join("/tmp", "pytorchocr_pq", tag)
+    path = os.path.join(out_dir, "codebooks.parquet")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return path
+    _ids, x = _load_train_sample(sf_dir, sample_n, sample_mode)
+    return _write_codebooks(*_kmeans_codebooks(x, m, k, iters), out_dir)
+
+
+def train_residual_codebooks(
+    sf_dir: str,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_n: int = PQ_SAMPLE,
+    iters: int = IVF_ITERS,
+    sample_mode: str = "strided",
+) -> str:
+    """Residual PQ codebooks for IVFADC (VERDICT r4 #3, FAISS
+    ``by_residual=true``): the per-subspace k-means trains on
+    (vector − assigned IVF centroid) residuals instead of raw vectors.
+    Residuals of vectors in the same bucket concentrate near the origin,
+    so the same 256 codes per subspace spend their resolution on the
+    *local* displacement — the standard recall upgrade at high
+    compression.  Residuals of exact ints are exact ints, so the whole
+    fixture stays value-exactly SQL-twinnable (the twin expands every
+    residual distance into dot products of the original lists)."""
+    import hashlib
+    import os
+
+    cent = _load_centroids(
+        train_ivf_centroids(sf_dir, n_centroids, sample_mode=sample_mode)
+    )
+    src = hashlib.sha256(
+        open(os.path.abspath(__file__), "rb").read()
+    ).hexdigest()[:12]
+    tag = hashlib.sha256(
+        f"pqr|{os.path.abspath(sf_dir)}|{n_centroids}|{m}|{k}|{sample_n}"
+        f"|{iters}|{src}|{sample_mode}|{_content_sig(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join("/tmp", "pytorchocr_pqr", tag)
+    path = os.path.join(out_dir, "codebooks.parquet")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return path
+    _ids, x = _load_train_sample(sf_dir, sample_n, sample_mode)
+    # same assignment rule as search time: first max = lowest cid
+    assign = _qcos(x, cent).argmax(axis=1)
+    resid = x - cent[assign]
+    return _write_codebooks(*_kmeans_codebooks(resid, m, k, iters), out_dir)
 
 
 def _load_codebooks(path: str, m: int, k: int) -> np.ndarray:
@@ -657,19 +779,20 @@ QUALIFY rank <= {k}
 """
 
 
-# ------------------------------------------------ IVF + PQ (IVFADC, r4)
+# ------------------------------------------- IVF + PQ (IVFADC, r4/r5)
 #
 # The combination both variants exist for: the IVF coarse quantizer
 # bounds WHICH vectors a query touches (nprobe buckets), the PQ codes
 # bound WHAT each touch costs (m one-byte gathers instead of a d-dim
-# dot).  This is the classic billion-scale ANN layout (IVFADC); codes
-# here are non-residual (encoded against the global PQ codebooks, like
-# FAISS IndexIVFPQ with by_residual=false) so both trained fixtures are
-# reused as-is — residual encoding is the quality upgrade and would need
-# residual-trained codebooks.  Everything stays value-exactly
-# SQL-twinned: bucket assignment/probing reuses the IVF cosine rule,
-# in-bucket scoring the integer ADC rule, over the SAME two parquet
-# fixtures.
+# dot).  This is the classic billion-scale ANN layout (IVFADC).  Round 5
+# (VERDICT r4 #3): codes are RESIDUAL by default (encoded against
+# codebooks trained on vector − assigned-centroid residuals, FAISS
+# ``by_residual=true``) — the standard recall upgrade at high
+# compression; ``by_residual=False`` keeps the r4 global-codebook
+# variant.  Everything stays value-exactly SQL-twinned: bucket
+# assignment/probing reuses the IVF cosine rule, and every residual L2
+# expands into dot products of the original integer lists (residuals of
+# exact ints are exact ints), over the same parquet fixtures.
 
 
 def topk_ivfpq(
@@ -680,43 +803,63 @@ def topk_ivfpq(
     nprobe: int = 4,
     m: int = PQ_M,
     pq_k: int = PQ_K,
+    by_residual: bool = True,
 ):
     """Approximate top-k: probe the query's ``nprobe`` nearest IVF
     buckets, score only their members by PQ asymmetric distance (exact
     integers), rank (dist ASC, vec_id ASC).  Distributed as per-batch
     partial top-k; both quantizers' training is the cached deterministic
-    k-means of their standalone variants."""
+    k-means of their standalone variants.  With ``by_residual`` (the
+    default) vectors encode their displacement from their bucket's
+    centroid and the query's ADC table is per (query, probed bucket)."""
     import ray
 
     qids, qmat = _load_quantized(sf_dir, nq)
     cent = _load_centroids(train_ivf_centroids(sf_dir, n_centroids))
-    books = _load_codebooks(train_pq_codebooks(sf_dir, m, pq_k), m, pq_k)
+    if by_residual:
+        books = _load_codebooks(
+            train_residual_codebooks(sf_dir, n_centroids, m, pq_k), m, pq_k
+        )
+    else:
+        books = _load_codebooks(train_pq_codebooks(sf_dir, m, pq_k), m, pq_k)
     dim = qmat.shape[1]
     d = dim // m
-    lut = np.zeros((len(qids), m, books.shape[1]), dtype=np.int64)
-    for s in range(m):
-        lut[:, s, :] = _sub_l2(qmat[:, s * d : (s + 1) * d], books[s]).astype(
-            np.int64
-        )
+    C = cent.shape[0]
+    if by_residual:
+        # residual ADC: the query LUT depends on the candidate's bucket —
+        # lut[qi, cid, s, code] = exact L2((q - cent_cid)_sub, codeword).
+        # nq x C x m x pq_k int64 (a few MB) — built once, ray.put once.
+        lut = np.zeros((len(qids), C, m, books.shape[1]), dtype=np.int64)
+        for cid in range(C):
+            qres = qmat - cent[cid]
+            for s in range(m):
+                lut[:, cid, s, :] = _sub_l2(
+                    qres[:, s * d : (s + 1) * d], books[s]
+                ).astype(np.int64)
+    else:
+        lut = np.zeros((len(qids), m, books.shape[1]), dtype=np.int64)
+        for s in range(m):
+            lut[:, s, :] = _sub_l2(
+                qmat[:, s * d : (s + 1) * d], books[s]
+            ).astype(np.int64)
     # probe sets fit on the driver (nq x C); ship one bool mask per query
     qc = _qcos(qmat, cent)
-    probe_mask = np.zeros((len(qids), cent.shape[0]), dtype=bool)
+    probe_mask = np.zeros((len(qids), C), dtype=bool)
     for qi in range(len(qids)):
-        probe_mask[qi][
-            np.lexsort((np.arange(cent.shape[0]), -qc[qi]))[:nprobe]
-        ] = True
-    state = ray.put((qids, lut, books, cent, probe_mask))
+        probe_mask[qi][np.lexsort((np.arange(C), -qc[qi]))[:nprobe]] = True
+    state = ray.put((qids, lut, books, cent, probe_mask, by_residual))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        ids, lut_, books_, cent_, pmask = ray.get(state)
+        ids, lut_, books_, cent_, pmask, resid = ray.get(state)
         emb = _quantize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
         vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         m_, _, d_ = books_.shape
         # one bucket per vector (first max = lowest cid, the IVF rule)
         vb = _qcos(emb, cent_).argmax(axis=1)
+        enc = emb - cent_[vb] if resid else emb
         codes = np.zeros((len(vids), m_), dtype=np.int64)
         for s in range(m_):
-            codes[:, s] = _sub_l2(emb[:, s * d_ : (s + 1) * d_], books_[s]).argmin(
+            codes[:, s] = _sub_l2(enc[:, s * d_ : (s + 1) * d_], books_[s]).argmin(
                 axis=1
             )
         out_q, out_v, out_s = [], [], []
@@ -725,7 +868,13 @@ def topk_ivfpq(
             mask = pmask[qi][vb]
             if not mask.any():
                 continue
-            dist = lut_[qi][sub_idx[None, :], codes[mask]].sum(axis=1)
+            if resid:
+                # per-candidate gather through its bucket's LUT slab
+                dist = lut_[qi][
+                    vb[mask][:, None], sub_idx[None, :], codes[mask]
+                ].sum(axis=1)
+            else:
+                dist = lut_[qi][sub_idx[None, :], codes[mask]].sum(axis=1)
             sub_ids = vids[mask]
             idx = np.lexsort((sub_ids, dist))[: min(k, len(sub_ids))]
             out_q.extend([ids[qi]] * len(idx))
@@ -761,12 +910,20 @@ def topk_ivfpq_sql(
     nprobe: int = 4,
     m: int = PQ_M,
     pq_k: int = PQ_K,
+    by_residual: bool = True,
 ) -> str:
     """DuckDB twin of topk_ivfpq: IVF assignment/probing (cosine DESC,
     cid ASC) from the centroid parquet x PQ code assignment + ADC sums
-    (L2 ASC, code ASC) from the codebook parquet, composed."""
+    (L2 ASC, code ASC) from the codebook parquet, composed.  In residual
+    mode every L2 over (point − centroid) residuals expands into dot
+    products of the original lists:
+    ``|a-b-c|^2 = a.a - 2a.b + b.b - 2a.c + 2b.c + c.c`` — each dot an
+    exact integer, so the twin stays value-exact."""
     cent_path = train_ivf_centroids(sf_dir, n_centroids)
-    cb_path = train_pq_codebooks(sf_dir, m, pq_k)
+    if by_residual:
+        cb_path = train_residual_codebooks(sf_dir, n_centroids, m, pq_k)
+    else:
+        cb_path = train_pq_codebooks(sf_dir, m, pq_k)
     import pyarrow.parquet as pq_
 
     d = len(pq_.read_table(cb_path).to_pandas()["qd"].iloc[0])
@@ -779,6 +936,75 @@ def topk_ivfpq_sql(
         "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}))"
     )
+    # L2 between residual (a - b) and codeword c, all-dot-product form
+    l2r = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) - 2 * list_dot_product({a}, {c})"
+        " + 2 * list_dot_product({b}, {c}) + list_dot_product({c}, {c}))"
+    )
+    if by_residual:
+        return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+  FROM embeddings),
+cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
+         FROM read_parquet('{cent_path}')),
+cb AS (SELECT sub AS s, code,
+              list_transform(qd, x -> CAST(x AS DOUBLE)) AS cq
+       FROM read_parquet('{cb_path}')),
+qv AS (SELECT vec_id AS query_id, qd FROM e WHERE vec_id < {nq}),
+bkt AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v', b='c')} DESC, c.cid ASC) AS rn
+    FROM e v CROSS JOIN cent c) WHERE rn = 1),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q', b='c')} DESC, c.cid ASC) AS rn
+    FROM qv q CROSS JOIN cent c) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, b.vec_id, b.cid
+  FROM probe p JOIN bkt b ON b.cid = p.cid),
+csub AS (
+  SELECT cid, s, qd[(s * {d} + 1):(s * {d} + {d})] AS cs
+  FROM cent, (SELECT unnest(range({m})) AS s)),
+sub AS (
+  SELECT vec_id, s, qd[(s * {d} + 1):(s * {d} + {d})] AS sq
+  FROM e, (SELECT unnest(range({m})) AS s)),
+asn AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, cb.code,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.s
+             ORDER BY {l2r.format(a='sq', b='cs', c='cq')} ASC,
+                      cb.code ASC) AS rn
+    FROM sub
+    JOIN bkt ON bkt.vec_id = sub.vec_id
+    JOIN csub ON csub.cid = bkt.cid AND csub.s = sub.s
+    JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, s, sq AS qsq FROM sub WHERE vec_id < {nq}),
+dist AS (
+  SELECT c2.query_id, c2.vec_id,
+         CAST(sum({l2r.format(a='qsq', b='cs', c='cq')}) AS BIGINT) AS dist
+  FROM cand c2
+  JOIN qs ON qs.query_id = c2.query_id
+  JOIN csub ON csub.cid = c2.cid AND csub.s = qs.s
+  JOIN asn a ON a.vec_id = c2.vec_id AND a.s = qs.s
+  JOIN cb ON cb.s = a.s AND cb.code = a.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+       ) AS BIGINT) AS rank
+FROM dist
+QUALIFY rank <= {k}
+"""
     return f"""
 WITH e AS (
   SELECT vec_id,

