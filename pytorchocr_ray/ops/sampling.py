@@ -61,8 +61,15 @@ def sample_per_group(sf_dir: str, k: int = 10):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         ids = df["doc_id"].to_numpy(np.int64)
-        # ids are < 2^32 here, so id*A < 2^63: exact in int64, and DuckDB
-        # BIGINT arithmetic reproduces it bit-for-bit
+        # precondition ENFORCED (r5, ADVICE r4): id*A must stay < 2^63 —
+        # beyond it numpy int64 wraps silently while the DuckDB twin
+        # raises on BIGINT overflow, a quiet engine/oracle divergence.
+        # For wider id spaces reduce ids mod SAMPLE_M first (both sides).
+        if len(ids) and int(ids.max()) >= 1 << 32:
+            raise ValueError(
+                "sample_per_group requires doc_id < 2^32 (got "
+                f"{int(ids.max())}); pre-reduce ids mod {SAMPLE_M}"
+            )
         df["h"] = (ids * SAMPLE_A + SAMPLE_C) % SAMPLE_M
         df = df.sort_values(["lang", "h", "doc_id"])
         return pa.Table.from_pandas(

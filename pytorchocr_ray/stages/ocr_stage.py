@@ -239,8 +239,15 @@ class OcrStage:
                     nsp[i],
                 )
         if self._counter is not None and n_images:
-            # fire-and-forget: a tiny message per batch, never awaited
-            self._counter.add.remote(time.process_time() - cpu0, n_images)
+            # awaited (r5, ADVICE r4): a fire-and-forget add could land
+            # after the bench's read_and_reset (or be lost at actor-pool
+            # teardown), mis-attributing up to one batch per actor.  The
+            # ray.get makes every add visible before this batch completes
+            # — so before the dataset (and the timed run) finishes.  Cost:
+            # one ~0.2 ms actor RPC per ~100 ms batch, bench-mode only.
+            import ray
+
+            ray.get(self._counter.add.remote(time.process_time() - cpu0, n_images))
         return out.table()
 
 

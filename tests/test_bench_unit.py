@@ -64,3 +64,20 @@ def test_update_baseline_md_inserts_and_replaces(tmp_path):
     assert text2.count("## Measured results") == 1
     assert "### My notes (must survive)" in text2
     assert "- a note" in text2
+
+
+def test_pick_attempt_steal_gate():
+    """r5 (VERDICT r4 #5): the first sub-gate attempt counts; when every
+    redraw sat under steal, the lowest-steal attempt counts (flagged) —
+    a pair slot is never silently dropped."""
+    import bench
+
+    a1 = {"eff": 0.5, "steal": 12.0, "gated": True}
+    a2 = {"eff": 0.95, "steal": 1.2, "gated": False}
+    a3 = {"eff": 0.9, "steal": 2.0, "gated": False}
+    assert bench._pick_attempt([a1, a2, a3]) is a2  # first clean wins
+    assert bench._pick_attempt([a2]) is a2
+    b1 = {"eff": 0.5, "steal": 12.0, "gated": True}
+    b2 = {"eff": 0.7, "steal": 8.0, "gated": True}
+    assert bench._pick_attempt([b1, b2]) is b2  # lowest steal, flagged
+    assert bench._pick_attempt([b1, b2])["gated"] is True

@@ -488,3 +488,40 @@ def test_residual_beats_global_codebooks_when_codes_scarce(ray_session, sf_dir):
     r_non = len(e & set(zip(non["query_id"], non["vec_id"]))) / len(e)
     assert r_res >= r_non, (r_res, r_non)
     assert r_res >= 0.4
+
+
+def test_value_quantile_sketch_merge_and_estimate(ray_session):
+    """r5 (VERDICT r4 #6): the bottom-k-by-hash sketch must (a) be a pure
+    function of the row set — sketch(full) == bottom-k(merge of the two
+    half-corpus sketches) — and (b) estimate float quantiles within the
+    uniform-sample rank bound (~1/sqrt(k)) of the exact values."""
+    from pytorchocr_ray.ops.relational import (
+        sketch_quantile,
+        value_quantile_sketch,
+    )
+    from pytorchocr_ray.ops.sampling import SAMPLE_A, SAMPLE_C, SAMPLE_M
+
+    sf = "/root/testdata/sf0.001"
+    sk = value_quantile_sketch(sf, k=128).to_pandas().sort_values("rn")
+    assert len(sk) == 128 and sk["rn"].tolist() == list(range(1, 129))
+
+    # (a) mergeability: recompute from raw halves in numpy
+    df = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "value"]
+    ).to_pandas()
+    df["u"] = (df["event_id"].to_numpy(np.int64) * SAMPLE_A + SAMPLE_C) % SAMPLE_M
+    half1 = df.iloc[: len(df) // 2].sort_values(["u", "event_id"]).head(128)
+    half2 = df.iloc[len(df) // 2 :].sort_values(["u", "event_id"]).head(128)
+    merged = (
+        pd.concat([half1, half2]).sort_values(["u", "event_id"]).head(128)
+    )
+    assert merged["event_id"].tolist() == sk["event_id"].tolist()
+    assert np.array_equal(merged["value"].to_numpy(), sk["value"].to_numpy())
+
+    # (b) estimator rank accuracy: the estimate's true rank must sit
+    # within ~3/sqrt(k) of the requested quantile
+    allv = df["value"].to_numpy(np.float64)
+    for pct in (25, 50, 90):
+        est = sketch_quantile(sk["value"].to_numpy(), pct)
+        true_rank = 100.0 * (allv <= est).mean()
+        assert abs(true_rank - pct) <= 300.0 / np.sqrt(128), (pct, true_rank)

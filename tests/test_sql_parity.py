@@ -530,3 +530,24 @@ def test_simhash_pairs_parity_with_active_bucket_cap(ray_session, parity_dir, co
     assert set(zip(e["doc_a"], e["doc_b"])) <= set(
         zip(full["doc_a"], full["doc_b"])
     )
+
+
+def test_value_quantile_sketch_parity(ray_session):
+    """r5: the float-quantile sketch table (raw float values, no cents
+    quantization) must be value-identical to its SQL twin."""
+    from pytorchocr_ray.ops.relational import (
+        value_quantile_sketch,
+        value_quantile_sketch_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = value_quantile_sketch(sf, k=64).to_pandas().sort_values("rn").reset_index(drop=True)
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    o = c.sql(value_quantile_sketch_sql(k=64)).df().sort_values("rn").reset_index(drop=True)
+    assert list(e.columns) == list(o.columns)
+    for col in ("rn", "event_id", "u"):
+        assert e[col].astype(np.int64).equals(o[col].astype(np.int64)), col
+    assert np.array_equal(e["value"].to_numpy(), o["value"].to_numpy())
