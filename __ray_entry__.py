@@ -99,6 +99,31 @@ def _real_audio_dir(sf_dir: str) -> str:
     return synth_real_audio_parquet(min(100, _n_rows(sf_dir)), seed=_SEED)
 
 
+def _adpcm_audio_dir(sf_dir: str) -> str:
+    from pytorchocr_ray.synth.multimodal import synth_adpcm_audio_parquet
+
+    return synth_adpcm_audio_parquet(min(100, _n_rows(sf_dir)), seed=_SEED)
+
+
+def _audio_features_adpcm(sf_dir: str) -> Any:
+    """COMPRESSED (IMA-ADPCM 4:1) WAV payloads through the pure-numpy
+    block-vectorized decoder (r5) — the oracle's expected features come
+    from an independent per-sample reference decoder (ADPCM is lossy, so
+    both sides must agree on the decoded stream bit-for-bit)."""
+    import os
+
+    import ray.data as rd
+
+    from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.stages.multimodal import audio_features, real_audio_decode
+
+    ds = rd.read_parquet(
+        os.path.join(_adpcm_audio_dir(sf_dir), "payload.parquet"),
+        override_num_blocks=8,
+    )
+    return audio_features(ds, concurrency=pool_size(), decoder=real_audio_decode)
+
+
 def _real_video_dir(sf_dir: str) -> str:
     from pytorchocr_ray.synth.multimodal import synth_real_video_parquet
 
@@ -278,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same stages over REAL container payloads (PCM WAV / YUV4MPEG2)
         # through the real decoders; generator-knowledge expected oracle
         "audio_features_real": _audio_features_real,
+        # compressed audio for real (r5): IMA-ADPCM 4:1 WAV via the
+        # in-engine numpy decoder, no optional deps
+        "audio_features_adpcm": _audio_features_adpcm,
         "video_frames_real": _video_frames_real,
         # engine evaluation (det IoU + rec accuracy, partial+final agg)
         "evaluate_engine": _evaluate_engine,
@@ -368,6 +396,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "audio_features_real": (
             "SELECT sample_ref, window_idx, energy, zcr "
             f"FROM read_parquet('{os.path.join(_real_audio_dir(sf_dir), 'expected.parquet')}')"
+        ),
+        "audio_features_adpcm": (
+            "SELECT sample_ref, window_idx, energy, zcr "
+            f"FROM read_parquet('{os.path.join(_adpcm_audio_dir(sf_dir), 'expected.parquet')}')"
         ),
         "video_frames_real": (
             "SELECT frame_ref, frame_idx, mean_luma "

@@ -115,14 +115,109 @@ def wav_pcm_decode(data: bytes) -> tuple[np.ndarray, int]:
         return x, w.getframerate()
 
 
+# ------------------------------------------- IMA-ADPCM WAV decode (r5)
+#
+# VERDICT r4 #7: one COMPRESSED audio format must run end to end
+# in-sandbox instead of importorskip-skipping.  IMA (DVI) ADPCM is the
+# classic 4:1 speech codec (WAV format tag 0x11): 4-bit nibbles, a
+# step-size state machine, integer-exact and fully specified — so a
+# pure-numpy decoder needs no native deps and agrees bit-for-bit with
+# any conforming implementation.  The hot loop is sequential in the
+# SAMPLE dimension (the predictor is a running state) but VECTORIZED
+# ACROSS BLOCKS: every block carries its own (predictor, index) header,
+# so a payload of B blocks decodes in samples_per_block numpy steps of
+# width B, not B*samples_per_block Python steps.
+
+IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64,
+)
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _wav_chunks(data: bytes) -> dict[str, bytes]:
+    """Minimal RIFF/WAVE chunk walk (the stdlib ``wave`` module rejects
+    non-PCM compression types, so ADPCM needs its own parser)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[str, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4].decode("latin-1")
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        out[cid] = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+def adpcm_wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono IMA-ADPCM WAV (format tag 0x11) -> (int32 samples,
+    sample_rate). Pure numpy, block-vectorized (see the section note)."""
+    ch = _wav_chunks(data)
+    fmt = ch["fmt "]
+    tag = int.from_bytes(fmt[0:2], "little")
+    if tag != 0x11:
+        raise NotImplementedError(f"adpcm_wav_decode: format tag {tag:#x}")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    if n_channels != 1:
+        raise NotImplementedError("only mono IMA-ADPCM supported")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    n_samples = (
+        int.from_bytes(ch["fact"][:4], "little") if "fact" in ch else None
+    )
+    raw = ch["data"]
+    nb = len(raw) // block_align
+    blocks = np.frombuffer(raw[: nb * block_align], dtype=np.uint8).reshape(
+        nb, block_align
+    )
+    pred = (
+        blocks[:, 0].astype(np.int64) | (blocks[:, 1].astype(np.int64) << 8)
+    )
+    pred = np.where(pred >= 32768, pred - 65536, pred)  # int16 header
+    index = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    payload = blocks[:, 4:]
+    # nibble order: low nibble of each byte first, then high
+    nib = np.empty((nb, (block_align - 4) * 2), dtype=np.int64)
+    nib[:, 0::2] = payload & 0x0F
+    nib[:, 1::2] = payload >> 4
+    out = np.empty((nb, spb), dtype=np.int64)
+    out[:, 0] = pred
+    for j in range(spb - 1):
+        n = nib[:, j]
+        step = IMA_STEP_TABLE[index]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(
+            pred + np.where(n & 8, -diff, diff), -32768, 32767
+        )
+        index = np.clip(index + IMA_INDEX_TABLE[n & 7], 0, 88)
+        out[:, j + 1] = pred
+    flat = out.reshape(-1)
+    if n_samples is not None:
+        flat = flat[:n_samples]  # fact chunk trims the padded final block
+    return flat.astype(np.int32), rate
+
+
 def real_audio_decode(data: bytes, n_samples: int, sample_rate: int) -> np.ndarray:
     """Decoder for real audio payloads, drop-in for ``fake_audio_decode``
     (same signature, so ``audio_features(ds, decoder=real_audio_decode)``).
 
-    soundfile (if installed) -> PCM WAV via stdlib -> NotImplementedError.
-    The row's declared (n_samples, sample_rate) metadata is validated
-    against the decoded stream — a mismatch is data corruption, not a
-    decode failure."""
+    soundfile (if installed) -> PCM or IMA-ADPCM WAV natively ->
+    NotImplementedError.  The row's declared (n_samples, sample_rate)
+    metadata is validated against the decoded stream — a mismatch is
+    data corruption, not a decode failure."""
     out = sr = None
     try:
         import soundfile  # optional dep, absent in this container
@@ -134,11 +229,15 @@ def real_audio_decode(data: bytes, n_samples: int, sample_rate: int) -> np.ndarr
         out = arr[:, 0] if arr.ndim > 1 else arr
     except ImportError:
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-            out, sr = wav_pcm_decode(data)
+            fmt = _wav_chunks(data).get("fmt ", b"\x01\x00")
+            if int.from_bytes(fmt[0:2], "little") == 0x11:
+                out, sr = adpcm_wav_decode(data)
+            else:
+                out, sr = wav_pcm_decode(data)
         else:
             raise NotImplementedError(
                 "compressed audio needs soundfile/ffmpeg (not in this "
-                "container); only PCM WAV decodes natively"
+                "container); PCM and IMA-ADPCM WAV decode natively"
             )
     if len(out) != n_samples or sr != sample_rate:
         raise ValueError(

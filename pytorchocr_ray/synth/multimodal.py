@@ -285,3 +285,195 @@ def synth_real_video_parquet(
     with open(os.path.join(d, "_SUCCESS"), "w") as f:
         f.write("ok")
     return d
+
+
+# -------------------------------------------- IMA-ADPCM payloads (r5)
+#
+# A COMPRESSED audio format exercised end to end in-sandbox (VERDICT r4
+# #7).  The encoder and the reference decoder here are independent
+# plain per-sample Python loops (the generator-knowledge oracle
+# discipline); the engine decodes the same bytes with the
+# block-vectorized numpy decoder in stages/multimodal.py.  ADPCM is
+# LOSSY, so expected features are computed from the REFERENCE-DECODED
+# samples — two independent implementations of an integer-exact codec
+# must agree bit-for-bit, which the fixture asserts at synthesis time.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    """One reference decode step -> (new_pred, new_index); shared by the
+    encoder (which must track decoder state) and the reference decoder."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_IDX[n & 7]))
+    return pred, index
+
+
+def ima_adpcm_encode_wav(
+    samples: np.ndarray, rate: int, block_align: int = 256
+) -> bytes:
+    """Encode int16 mono samples as an IMA-ADPCM WAV (format tag 0x11),
+    plain per-sample reference loop.  Final partial block is zero-nibble
+    padded; the fact chunk records the true sample count."""
+    spb = (block_align - 4) * 2 + 1
+    s = [int(v) for v in samples]
+    blocks = []
+    index = 0
+    pos = 0
+    while pos < len(s):
+        chunk = s[pos : pos + spb]
+        pos += spb
+        pred = chunk[0]
+        hdr = pred & 0xFFFF
+        blk = bytes([hdr & 0xFF, hdr >> 8, index, 0])
+        nibs = []
+        for v in chunk[1:]:
+            step = _IMA_STEPS[index]
+            delta = v - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            nibs.append(n)
+            pred, index = _ima_decode_nibble(n, pred, index)
+        nibs += [0] * ((block_align - 4) * 2 - len(nibs))  # pad last block
+        for a, b in zip(nibs[0::2], nibs[1::2]):
+            blk += bytes([(b << 4) | a])
+        blocks.append(blk)
+    data = b"".join(blocks)
+    byte_rate = rate * block_align // spb
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb.to_bytes(2, "little")
+    )
+    fact = len(s).to_bytes(4, "little")
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + len(fact).to_bytes(4, "little") + fact
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def ima_adpcm_reference_decode(data: bytes) -> np.ndarray:
+    """Plain per-sample reference decoder (independent of the engine's
+    vectorized one): walks blocks and nibbles one by one."""
+    from ..stages.multimodal import _wav_chunks
+
+    ch = _wav_chunks(data)
+    fmt = ch["fmt "]
+    block_align = int.from_bytes(fmt[12:14], "little")
+    spb = (block_align - 4) * 2 + 1
+    n_samples = int.from_bytes(ch["fact"][:4], "little")
+    raw = ch["data"]
+    out = []
+    for bpos in range(0, len(raw) - block_align + 1, block_align):
+        blk = raw[bpos : bpos + block_align]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        index = max(0, min(88, blk[2]))
+        out.append(pred)
+        for byte in blk[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_decode_nibble(n, pred, index)
+                out.append(pred)
+    return np.asarray(out[:n_samples], dtype=np.int32)
+
+
+def synth_adpcm_audio_parquet(
+    n_rows: int, seed: int = 42, window: int = 1024, hop: int = 512
+) -> str:
+    """Dir with payload.parquet (IMA-ADPCM WAV rows, same schema as the
+    PCM fixture) + expected.parquet computed from the REFERENCE-decoded
+    samples.  Smooth random-walk signals (ADPCM's design regime) rather
+    than white noise, so the codec is exercised over its whole step
+    table instead of saturating at the top steps."""
+    d = _real_dir("adpcm_audio", n_rows, seed)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    from ..stages.multimodal import adpcm_wav_decode
+
+    refs, datas, rates, lens = [], [], [], []
+    e_ref, e_idx, e_en, e_zc = [], [], [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng((seed << 20) + i)
+        n = int(rng.integers(2048, 8192))
+        steps = rng.integers(-2048, 2049, size=n, dtype=np.int64)
+        samples = np.clip(np.cumsum(steps), -32768, 32767).astype(np.int64)
+        data = ima_adpcm_encode_wav(samples, 16000)
+        # the two independent decoders must agree bit-for-bit
+        ref_dec = ima_adpcm_reference_decode(data).astype(np.int64)
+        eng_dec, eng_rate = adpcm_wav_decode(data)
+        assert eng_rate == 16000 and np.array_equal(
+            ref_dec, eng_dec.astype(np.int64)
+        ), f"ADPCM decoder divergence on row {i}"
+        refs.append(f"adp-{i:06d}")
+        datas.append(data)
+        rates.append(16000)
+        lens.append(n)
+        # expected features from the reference-decoded (lossy) samples
+        k = 0
+        while k * hop + window <= n:
+            win = ref_dec[k * hop : k * hop + window]
+            e_ref.append(f"adp-{i:06d}")
+            e_idx.append(k)
+            e_en.append(int((win * win).sum()) / float(1 << 30))
+            neg = win < 0
+            e_zc.append(int((neg[1:] != neg[:-1]).sum()) / window)
+            k += 1
+    pq.write_table(
+        pa.table(
+            {
+                "sample_ref": pa.array(refs, pa.string()),
+                "data": pa.array(datas, pa.binary()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(lens, pa.int32()),
+            }
+        ),
+        os.path.join(d, "payload.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "sample_ref": pa.array(e_ref, pa.string()),
+                "window_idx": pa.array(e_idx, pa.int32()),
+                "energy": pa.array(e_en, pa.float64()),
+                "zcr": pa.array(e_zc, pa.float64()),
+            }
+        ),
+        os.path.join(d, "expected.parquet"),
+    )
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return d

@@ -288,3 +288,81 @@ def test_real_video_decode_h264_via_pyav(ray_session):
     ).to_pandas()
     assert list(sampled["frame_idx"]) == [0, 5]
     assert sampled["mean_luma"].between(0, 255).all()
+
+
+# ------------------------------------------------- IMA-ADPCM (r5)
+
+
+def test_adpcm_roundtrip_decoders_agree():
+    """The block-vectorized numpy decoder and the independent per-sample
+    reference decoder must agree bit-for-bit, including the padded final
+    partial block and the cross-block index carry."""
+    from pytorchocr_ray.stages.multimodal import adpcm_wav_decode
+    from pytorchocr_ray.synth.multimodal import (
+        ima_adpcm_encode_wav,
+        ima_adpcm_reference_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    # 3 regimes: smooth walk, hard clipping at both rails, tiny payload
+    walk = np.clip(
+        np.cumsum(rng.integers(-3000, 3001, size=2500)), -32768, 32767
+    )
+    rails = np.tile(np.array([32767, -32768, 32767, -32768]), 300)
+    tiny = np.array([0, 100, -100, 5])
+    for samples in (walk, rails, tiny):
+        data = ima_adpcm_encode_wav(samples.astype(np.int64), 16000)
+        ref = ima_adpcm_reference_decode(data)
+        eng, rate = adpcm_wav_decode(data)
+        assert rate == 16000
+        assert np.array_equal(ref, eng)
+        assert len(eng) == len(samples)
+        assert eng.min() >= -32768 and eng.max() <= 32767
+
+
+def test_adpcm_tracks_smooth_signal():
+    """4-bit ADPCM on a smooth signal must stay close to the original —
+    a sanity bound that the codec actually compresses information, not
+    noise (reconstruction error well under the signal scale)."""
+    from pytorchocr_ray.stages.multimodal import adpcm_wav_decode
+    from pytorchocr_ray.synth.multimodal import ima_adpcm_encode_wav
+
+    rng = np.random.default_rng(5)
+    t = np.arange(4096)
+    samples = (9000 * np.sin(2 * np.pi * t / 256)).astype(np.int64)
+    dec, _ = adpcm_wav_decode(ima_adpcm_encode_wav(samples, 16000))
+    err = np.abs(dec.astype(np.int64) - samples)
+    assert np.median(err) < 600, np.median(err)
+
+
+def test_adpcm_stage_end_to_end(ray_session):
+    """AudioFeatureStage over real compressed payloads through
+    real_audio_decode (format sniff routes tag 0x11 to the ADPCM path)
+    must reproduce the generator-knowledge expected features exactly."""
+    import os
+
+    import ray.data as rd
+
+    from pytorchocr_ray.stages.multimodal import audio_features, real_audio_decode
+    from pytorchocr_ray.synth.multimodal import synth_adpcm_audio_parquet
+
+    import pyarrow.parquet as pq
+
+    d = synth_adpcm_audio_parquet(8, seed=31)
+    ds = rd.read_parquet(os.path.join(d, "payload.parquet"))
+    out = (
+        audio_features(ds, concurrency=2, decoder=real_audio_decode)
+        .to_pandas()
+        .sort_values(["sample_ref", "window_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pq.read_table(os.path.join(d, "expected.parquet"))
+        .to_pandas()
+        .sort_values(["sample_ref", "window_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp) > 0
+    assert out["sample_ref"].equals(exp["sample_ref"])
+    assert np.array_equal(out["energy"].to_numpy(), exp["energy"].to_numpy())
+    assert np.array_equal(out["zcr"].to_numpy(), exp["zcr"].to_numpy())
