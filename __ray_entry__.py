@@ -10,7 +10,9 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   round 4 adds simsearch_pq / simsearch_ivfpq / token_quantile_filter /
   events_value_quantile / sample_per_group / distinct_token_sketch /
   countmin_sketch / bloom_incremental_dedup / tfidf_top_terms
-  -> 43/43).
+  -> 43/43; round 5 adds value_quantile_sketch (mergeable float-quantile
+  sketch) and audio_features_adpcm (native IMA-ADPCM compressed audio)
+  -> 45/45).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made

@@ -220,6 +220,35 @@ def run_bench() -> dict:
     timed("minhash_pairs", lambda: dedup.minhash_pairs(SF_DIR).count())
     timed("simsearch_topk", lambda: simsearch.topk_bruteforce(SF_DIR).to_pandas())
     timed("simsearch_pq", lambda: simsearch.topk_pq(SF_DIR).to_pandas())
+    # r5: residual IVFADC (the changed default) + the new float-quantile
+    # sketch + the native compressed-audio path — every r5 op benched
+    timed("simsearch_ivfpq", lambda: simsearch.topk_ivfpq(SF_DIR).to_pandas())
+    timed(
+        "value_quantile_sketch",
+        lambda: relational.value_quantile_sketch(SF_DIR).to_pandas(),
+    )
+    timed("simhash_pairs", lambda: dedup.simhash_pairs(SF_DIR).count())
+
+    def run_adpcm():
+        import ray.data as rd
+
+        from pytorchocr_ray.ops import pool_size
+        from pytorchocr_ray.stages.multimodal import (
+            audio_features,
+            real_audio_decode,
+        )
+        from pytorchocr_ray.synth.multimodal import synth_adpcm_audio_parquet
+
+        d = synth_adpcm_audio_parquet(100, seed=2024)
+        ds = rd.read_parquet(
+            os.path.join(d, "payload.parquet"), override_num_blocks=8
+        )
+        audio_features(
+            ds, concurrency=pool_size(), decoder=real_audio_decode
+        ).count()
+
+    run_adpcm()  # untimed: builds the fixture on first call
+    timed("audio_adpcm", run_adpcm)
     timed(
         "token_quantile_filter",
         lambda: textstats.token_quantile_filter(SF_DIR).count(),
