@@ -819,7 +819,14 @@ def simhash_pairs(
                 len(hot),
                 bucket_cap,
             )
-    hot_ref = ray.put(hot)
+    # per-band sorted hot-key arrays: the worker-side membership test is
+    # one vectorized np.isin per band, not a Python set probe per row
+    hot_by_band = {
+        b: np.asarray(sorted(k for bb, k in hot if bb == b), dtype=np.int64)
+        for b in range(len(specs))
+        if any(bb == b for bb, _ in hot)
+    }
+    hot_ref = ray.put(hot_by_band)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
@@ -833,13 +840,12 @@ def simhash_pairs(
         key2 = np.zeros((n, nb), dtype=np.int64)
         if hot_:
             for band, w, lo, mask in specs:
+                hk = hot_.get(band)
+                if hk is None:
+                    continue
                 w2 = (w + 1) % SIMHASH_WORDS
                 sub = sigs[:, w2] & sub_mask
-                is_hot = np.fromiter(
-                    ((band, int(k)) in hot_ for k in keys[:, band]),
-                    dtype=bool,
-                    count=n,
-                )
+                is_hot = np.isin(keys[:, band], hk, assume_unique=False)
                 key2[is_hot, band] = sub[is_hot]
         cols = {
             "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
