@@ -235,3 +235,51 @@ def test_fp_init_picks_distinct_input_rows(n, k, seed):
     n_distinct_in = len(rows)
     n_distinct_out = len({tuple(r) for r in out.tolist()})
     assert n_distinct_out == min(k, n_distinct_in)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 1600),
+    seed=st.integers(0, 10**6),
+    scale=st.sampled_from([50, 3000, 32768]),
+)
+def test_adpcm_decoders_agree_property(n, seed, scale):
+    """r5: the block-vectorized numpy ADPCM decoder and the per-sample
+    reference decoder are independent implementations of an integer-exact
+    codec — they must agree bit-for-bit on arbitrary int16 signals of any
+    length (partial blocks, single-sample payloads, rail-clipped walks)."""
+    from pytorchocr_ray.stages.multimodal import adpcm_wav_decode
+    from pytorchocr_ray.synth.multimodal import (
+        ima_adpcm_encode_wav,
+        ima_adpcm_reference_decode,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = np.clip(
+        np.cumsum(rng.integers(-scale, scale + 1, size=n)), -32768, 32767
+    )
+    data = ima_adpcm_encode_wav(samples.astype(np.int64), 8000)
+    ref = ima_adpcm_reference_decode(data)
+    eng, rate = adpcm_wav_decode(data)
+    assert rate == 8000
+    assert len(eng) == n
+    assert np.array_equal(ref, eng)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    k=st.integers(1, 64),
+    pct=st.integers(1, 100),
+    seed=st.integers(0, 10**6),
+)
+def test_sketch_quantile_on_full_sample_is_exact(n, k, pct, seed):
+    """r5: when the sketch holds EVERY row (k >= n), sketch_quantile must
+    equal the exact inverted-CDF percentile of the data."""
+    from pytorchocr_ray.ops.relational import sketch_quantile
+
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(0, 100, size=n)
+    est = sketch_quantile(vals, pct)
+    exact = float(np.percentile(vals, pct, method="inverted_cdf"))
+    assert est == exact
