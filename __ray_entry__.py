@@ -242,6 +242,7 @@ def _evaluate_engine(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pytorchocr_ray.ops import (
+        curation,
         dedup,
         relational,
         sampling,
@@ -275,6 +276,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc TF-IDF keyword extraction (r4): integer idf surrogate,
         # broadcast df map, per-doc top-k
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        # corpus curation (r5): Gopher repetition prune signals — one
+        # shuffle-free windowed-hash pass, all-integer outputs
+        "repetition_stats": curation.repetition_stats,
+        # benchmark 8-gram decontamination (r5): broadcast eval-suite
+        # gram set, streaming membership flag over the training side
+        "decontaminate": curation.decontaminate,
+        # concat-and-chunk sequence packing (r5): distributed exclusive
+        # prefix sum over per-block summaries — global token offsets
+        # without a sort or a driver-side corpus scan
+        "pack_sequences": curation.pack_sequences,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         # incremental dedup vs a corpus snapshot (r4): Bloom bitset over
@@ -347,6 +358,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     extraction ground truth, pubtab expected table, audio/video synth
     parquet — are derived from it, not pinned to sf0.01)."""
     from pytorchocr_ray.ops import (
+        curation,
         dedup,
         relational,
         sampling,
@@ -428,6 +440,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinct_token_sketch": textstats.distinct_token_sketch_sql(),
         "countmin_sketch": textstats.countmin_sketch_sql(),
         "tfidf_top_terms": textstats.tfidf_top_terms_sql(),
+        "repetition_stats": curation.repetition_stats_sql(),
+        "decontaminate": curation.decontaminate_sql(),
+        "pack_sequences": curation.pack_sequences_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "bloom_incremental_dedup": dedup.bloom_incremental_dedup_sql(),
         "minhash_pairs": dedup.minhash_pairs_sql(),

@@ -262,6 +262,15 @@ def run_bench() -> dict:
         "bloom_incremental",
         lambda: dedup.bloom_incremental_dedup(SF_DIR).count(),
     )
+    # r5 curation ops: repetition prune signals, benchmark-overlap
+    # decontamination, concat-and-chunk packing (two-pass prefix sum)
+    from pytorchocr_ray.ops import curation
+
+    timed(
+        "repetition_stats", lambda: curation.repetition_stats(SF_DIR).count()
+    )
+    timed("decontaminate", lambda: curation.decontaminate(SF_DIR).count())
+    timed("pack_sequences", lambda: curation.pack_sequences(SF_DIR).count())
     timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())
     timed("doc_stats", lambda: textstats.doc_stats(SF_DIR).to_pandas())

@@ -1,0 +1,412 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Three operators the reference has no analog for (SURVEY §2.9 "beyond the
+reference" family), each with a value-exact DuckDB twin:
+
+- :func:`repetition_stats` — Gopher-style repetition quality signals
+  (most-frequent token / 2-gram multiplicity, duplicated-5-gram mass)
+  per document, from one vectorized windowed-hash pass.
+- :func:`decontaminate` — benchmark-overlap flagging: a document is
+  contaminated when it shares any word 8-gram with the held-out
+  benchmark slice.  Benchmark gram set is broadcast (eval suites are
+  MB-scale even when the corpus is 100 TB).
+- :func:`pack_sequences` — concat-and-chunk sequence packing: the
+  global token offset of every document (a distributed exclusive
+  prefix sum over per-block summaries) and the training chunks it
+  lands in.
+
+Hashing follows ops/hashing.py: 31-bit polynomial char hash per token,
+Horner combination with B_TOK across the gram window — identical on the
+SQL side, so gram-hash collisions (merging two distinct grams) are rare
+AND bit-identical in both systems.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import read
+from .hashing import B_TOK, M31, TOKEN_SPLIT_RE, poly_hash_strings, sql_char_hash, tokenize_batch
+
+_M = np.uint64(M31)
+_B = np.uint64(B_TOK)
+
+
+def _doc_token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token char-hashes, tokens-per-doc) for a batch of texts."""
+    flat, lens = tokenize_batch(texts)
+    return poly_hash_strings(flat), lens
+
+
+def _windowed_hashes(
+    h: np.ndarray, lens: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """n-gram Horner hashes per doc segment (no window crosses a doc).
+
+    Returns (flat gram hashes, grams-per-doc); a doc with fewer than n
+    tokens contributes zero grams.  Fully vectorized: n-1 shifted
+    multiply-adds over the flat token-hash array, then a gather of the
+    in-segment window starts.
+    """
+    gcnt = np.maximum(lens - n + 1, 0)
+    gcnt[lens == 0] = 0
+    total = len(h)
+    if total < n or gcnt.sum() == 0:
+        return np.zeros(0, dtype=np.uint64), gcnt
+    acc = h[: total - n + 1].copy()
+    for j in range(1, n):
+        acc = (acc * _B + h[j : total - n + 1 + j]) % _M
+    starts = np.cumsum(lens) - lens
+    out_starts = np.cumsum(gcnt) - gcnt
+    idx = np.arange(int(gcnt.sum()), dtype=np.int64) + np.repeat(
+        starts - out_starts, gcnt
+    )
+    return acc[idx], gcnt
+
+
+def _per_doc_multiplicity(
+    doc_ix: np.ndarray, keys: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (max key multiplicity, #items whose key repeats in-doc).
+
+    One lexsort + run-length encode over the (doc, key) pairs — no
+    per-doc Python loop.
+    """
+    maxc = np.zeros(n_docs, dtype=np.int64)
+    dupc = np.zeros(n_docs, dtype=np.int64)
+    if len(doc_ix) == 0:
+        return maxc, dupc
+    order = np.lexsort((keys, doc_ix))
+    d = doc_ix[order]
+    k = keys[order]
+    new_run = np.empty(len(d), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_starts, len(d)))
+    run_doc = d[run_starts]
+    np.maximum.at(maxc, run_doc, run_len)
+    np.add.at(dupc, run_doc, np.where(run_len >= 2, run_len, 0))
+    return maxc, dupc
+
+
+# ------------------------------------------------- repetition quality stats
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document (all-integer):
+
+    (doc_id, n_tokens, max_tok_cnt, max_2gram_cnt, dup_5gram_cnt,
+    repetitive) where ``repetitive`` fires when the top 2-gram covers
+    >= 20% of token positions (10 * max_2gram_cnt >= n_tokens) — the
+    "fraction of characters in most common 2-gram" prune of Rae et al.
+    2021 (Gopher), token-count form for integer exactness.
+
+    Shuffle-free: one map_batches pass; the (doc, gram) multiset never
+    leaves the block.
+    """
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_docs = len(texts)
+        h, lens = _doc_token_hashes(texts)
+        doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        max_tok, _ = _per_doc_multiplicity(doc_of_tok, h.view(np.int64), n_docs)
+        g2, c2 = _windowed_hashes(h, lens, 2)
+        max_2g, _ = _per_doc_multiplicity(
+            np.repeat(np.arange(n_docs, dtype=np.int64), c2),
+            g2.view(np.int64),
+            n_docs,
+        )
+        g5, c5 = _windowed_hashes(h, lens, 5)
+        _, dup_5g = _per_doc_multiplicity(
+            np.repeat(np.arange(n_docs, dtype=np.int64), c5),
+            g5.view(np.int64),
+            n_docs,
+        )
+        repetitive = ((lens >= 2) & (10 * max_2g >= lens)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens),
+                "max_tok_cnt": pa.array(max_tok),
+                "max_2gram_cnt": pa.array(max_2g),
+                "dup_5gram_cnt": pa.array(dup_5g),
+                "repetitive": pa.array(repetitive),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_stats_sql() -> str:
+    ch = sql_char_hash("t")
+    return f"""
+WITH hl AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         list_transform(ts, t -> {ch}) AS hl
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_SPLIT_RE}') AS ts
+        FROM documents)),
+g1 AS (SELECT doc_id, unnest(hl) AS g FROM hl),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(hl) - 1),
+                               i -> (hl[i+1] * {B_TOK} + hl[i+2]) % {M31})) AS g
+  FROM hl WHERE len(hl) >= 2),
+g5 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(hl) - 4),
+                               i -> list_reduce(hl[i+1:i+5],
+                                                (a, c) -> (a * {B_TOK} + c) % {M31}))) AS g
+  FROM hl WHERE len(hl) >= 5),
+c1 AS (SELECT doc_id, max(c) AS m
+       FROM (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2) GROUP BY 1),
+c2 AS (SELECT doc_id, max(c) AS m
+       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+c5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS s
+       FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1)
+SELECT hl.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c1.m, 0) AS BIGINT) AS max_tok_cnt,
+       CAST(COALESCE(c2.m, 0) AS BIGINT) AS max_2gram_cnt,
+       CAST(COALESCE(c5.s, 0) AS BIGINT) AS dup_5gram_cnt,
+       CAST(n_tokens >= 2 AND 10 * COALESCE(c2.m, 0) >= n_tokens
+            AS BIGINT) AS repetitive
+FROM hl
+LEFT JOIN c1 USING (doc_id)
+LEFT JOIN c2 USING (doc_id)
+LEFT JOIN c5 USING (doc_id)
+"""
+
+
+# ------------------------------------------------------- decontamination
+
+DECON_NGRAM = 8
+DECON_EVERY = 50  # doc_id % DECON_EVERY == 0 is the held-out benchmark slice
+
+
+def decontaminate(sf_dir: str, n: int = DECON_NGRAM, every: int = DECON_EVERY):
+    """Flag training documents sharing any word ``n``-gram with the
+    benchmark slice (docs where doc_id % every == 0) — the standard
+    eval-decontamination pass (GPT-3 appendix C / PaLM style).
+
+    Returns (doc_id, contaminated) for NON-benchmark docs only.
+
+    Scale shape: the benchmark gram set is collected to the driver and
+    broadcast once via ``ray.put`` — sound because the benchmark is an
+    eval suite (MBs) regardless of corpus size; the 100-TB training side
+    streams through one map_batches with a per-batch ``np.isin``
+    (searchsorted) membership test.  Docs with fewer than ``n`` tokens
+    have no n-grams and are never flagged (both sides).
+    """
+    import ray
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        keep = ids % every == 0
+        texts = [t for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        h, lens = _doc_token_hashes(texts)
+        g, _ = _windowed_hashes(h, lens, n)
+        return pa.table({"g": pa.array(np.unique(g.view(np.int64)))})
+
+    # bounded driver materialize: per-batch-distinct benchmark grams only
+    bench_tbl = ds.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench = np.unique(bench_tbl["g"].to_numpy(np.int64))
+    bench_ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ref = ray.get(bench_ref)  # zero-copy from the local object store
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        keep = ids % every != 0
+        texts = [t for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        n_docs = len(texts)
+        h, lens = _doc_token_hashes(texts)
+        g, gcnt = _windowed_hashes(h, lens, n)
+        hit = np.zeros(n_docs, dtype=np.int64)
+        if len(g) and len(ref):
+            pos = np.searchsorted(ref, g.view(np.int64))
+            member = (pos < len(ref)) & (
+                ref[np.minimum(pos, len(ref) - 1)] == g.view(np.int64)
+            )
+            np.add.at(hit, np.repeat(np.arange(n_docs, dtype=np.int64), gcnt), member)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "contaminated": pa.array((hit > 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def decontaminate_sql(n: int = DECON_NGRAM, every: int = DECON_EVERY) -> str:
+    ch = sql_char_hash("t")
+    return f"""
+WITH hl AS (
+  SELECT doc_id, list_transform(ts, t -> {ch}) AS hl
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_SPLIT_RE}') AS ts
+        FROM documents)),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(hl) - {n - 1}),
+                               i -> list_reduce(hl[i+1:i+{n}],
+                                                (a, c) -> (a * {B_TOK} + c) % {M31}))) AS g
+  FROM hl WHERE len(hl) >= {n}),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {every} = 0),
+hits AS (
+  SELECT g.doc_id, count(b.g) AS nhit
+  FROM g LEFT JOIN bench b USING (g)
+  WHERE g.doc_id % {every} != 0
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(h.nhit, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {every} != 0
+"""
+
+
+# --------------------------------------------- concat-and-chunk packing
+
+PACK_SEQ_LEN = 256
+
+
+def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN):
+    """Concat-and-chunk sequence packing: documents concatenated in
+    doc_id order, chunked every ``seq_len`` tokens (the standard LM
+    pretraining layout).  Per doc: its global token offset, the chunk
+    its first token lands in, and how many chunks it spans.
+
+    Distributed exclusive PREFIX SUM, not a sort: pass 1 reduces each
+    block to one (min_doc, max_doc, n_rows, sum_tokens) summary row
+    (#blocks rows reach the driver — bounded by cluster size, not
+    corpus size); the driver orders the summaries, verifies the blocks
+    are disjoint doc_id ranges, and computes per-block base offsets;
+    pass 2 re-streams the same blocks adding base + in-block cumsum.
+    Relies on the read producing doc_id-range-partitioned blocks
+    (sorted parquet, no shuffle in between) — pass 2 ASSERTS every
+    block matches a pass-1 summary exactly, so blocking drift fails
+    loudly instead of mispacking.
+    """
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {"min_doc": pa.array([], pa.int64()),
+                 "max_doc": pa.array([], pa.int64()),
+                 "n_rows": pa.array([], pa.int64()),
+                 "sum_tokens": pa.array([], pa.int64())}
+            )
+        nt = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_SPLIT_RE), pa.int64()
+        ).to_numpy()
+        return pa.table(
+            {
+                "min_doc": pa.array([int(ids.min())]),
+                "max_doc": pa.array([int(ids.max())]),
+                "n_rows": pa.array([len(ids)]),
+                "sum_tokens": pa.array([int(nt.sum())]),
+            }
+        )
+
+    sm = (
+        ds.map_batches(summarize, batch_size=None, batch_format="pyarrow")
+        .to_pandas()  # bounded: one row per block
+        .sort_values("min_doc")
+        .reset_index(drop=True)
+    )
+    if len(sm) > 1 and not (
+        sm["max_doc"].to_numpy()[:-1] < sm["min_doc"].to_numpy()[1:]
+    ).all():
+        raise AssertionError(
+            "pack_sequences: blocks are not disjoint doc_id ranges "
+            "(input not sorted by doc_id, or shuffled upstream)"
+        )
+    bases = np.cumsum(sm["sum_tokens"].to_numpy(np.int64)) - sm[
+        "sum_tokens"
+    ].to_numpy(np.int64)
+    block_info = {
+        int(md): (int(base), int(mx), int(nr), int(st))
+        for md, mx, nr, st, base in zip(
+            sm["min_doc"], sm["max_doc"], sm["n_rows"], sm["sum_tokens"], bases
+        )
+    }
+
+    import ray
+
+    info_ref = ray.put(block_info)
+    S = int(seq_len)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        info = ray.get(info_ref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "start_tok": pa.array([], pa.int64()),
+                 "chunk_id": pa.array([], pa.int64()),
+                 "n_chunks": pa.array([], pa.int64())}
+            )
+        nt = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_SPLIT_RE), pa.int64()
+        ).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, nt = ids[order], nt[order]
+        key = int(ids[0])
+        if key not in info:
+            raise AssertionError(
+                f"pack_sequences: pass-2 block starting at doc {key} has no "
+                "pass-1 summary (block boundaries drifted between passes)"
+            )
+        base, mx, nr, st = info[key]
+        if int(ids[-1]) != mx or len(ids) != nr or int(nt.sum()) != st:
+            raise AssertionError(
+                "pack_sequences: pass-2 block content differs from its "
+                f"pass-1 summary (doc range {ids[0]}..{ids[-1]})"
+            )
+        start = base + np.cumsum(nt) - nt
+        chunk_id = start // S
+        last = np.where(nt > 0, (start + np.maximum(nt, 1) - 1) // S, chunk_id)
+        n_chunks = np.where(nt > 0, last - chunk_id + 1, 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(nt),
+                "start_tok": pa.array(start),
+                "chunk_id": pa.array(chunk_id),
+                "n_chunks": pa.array(n_chunks.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def pack_sequences_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TOKEN_SPLIT_RE}')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_tok
+  FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       start_tok,
+       start_tok // {seq_len} AS chunk_id,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE (start_tok + n_tokens - 1) // {seq_len}
+                 - start_tok // {seq_len} + 1 END AS n_chunks
+FROM c
+"""

@@ -1,0 +1,161 @@
+"""Engine-vs-DuckDB parity + unit coverage for the corpus-curation ops
+(repetition stats, benchmark decontamination, sequence packing).
+
+The shipped corpus has no duplicated 5-grams and few contaminated docs, so
+the fixture PLANTS a heavily repetitive doc, an n-gram copy of a benchmark
+doc, and sub-gram-length docs to exercise every branch.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cur_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("curation")
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(60)]
+    # doc_id 0 is a benchmark doc (0 % 50 == 0); doc 13 copies 8 of its
+    # consecutive tokens -> contaminated
+    texts[13] = "pre " + " ".join(texts[0].split()[4:12]) + " post"
+    # doc 7: pathological repetition (one 2-gram covers everything,
+    # duplicated 5-grams abound)
+    texts[7] = " ".join(["spam", "ham"] * 12)
+    # edge docs: empty, single-token, sub-5-gram
+    texts[21] = ""
+    texts[22] = "solo"
+    texts[23] = "three little words"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(cur_dir):
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{cur_dir}/documents.parquet')"
+    )
+    return c
+
+
+def _match(engine_df, oracle_df, keys):
+    e = engine_df.sort_values(keys).reset_index(drop=True)
+    o = oracle_df.sort_values(keys).reset_index(drop=True)
+    assert list(e.columns) == list(o.columns)
+    assert e.astype(np.int64).equals(o.astype(np.int64)), (
+        f"engine:\n{e}\noracle:\n{o}"
+    )
+
+
+def test_repetition_stats_parity(ray_session, cur_dir, con):
+    from pytorchocr_ray.ops.curation import repetition_stats, repetition_stats_sql
+
+    e = repetition_stats(cur_dir).to_pandas()
+    _match(e, con.sql(repetition_stats_sql()).df(), ["doc_id"])
+    r = e.set_index("doc_id")
+    # planted repetition: "spam ham" x12 -> 24 tokens, top token 12x,
+    # top 2-gram ("spam ham") 12x, every 5-gram duplicated (20 positions)
+    assert r.loc[7, "n_tokens"] == 24
+    assert r.loc[7, "max_tok_cnt"] == 12
+    assert r.loc[7, "max_2gram_cnt"] == 12
+    assert r.loc[7, "dup_5gram_cnt"] == 20
+    assert r.loc[7, "repetitive"] == 1
+    # edges: empty / single-token / sub-5-gram docs
+    assert r.loc[21, ["n_tokens", "max_tok_cnt", "max_2gram_cnt",
+                      "dup_5gram_cnt", "repetitive"]].tolist() == [0, 0, 0, 0, 0]
+    assert r.loc[22, ["n_tokens", "max_tok_cnt", "max_2gram_cnt"]].tolist() == [1, 1, 0]
+    assert r.loc[23, "dup_5gram_cnt"] == 0
+
+
+def test_decontaminate_parity(ray_session, cur_dir, con):
+    from pytorchocr_ray.ops.curation import decontaminate, decontaminate_sql
+
+    e = decontaminate(cur_dir).to_pandas()
+    _match(e, con.sql(decontaminate_sql()).df(), ["doc_id"])
+    d = e.set_index("doc_id")
+    assert 0 not in d.index and 50 not in d.index  # benchmark rows excluded
+    assert d.loc[13, "contaminated"] == 1  # planted 8-gram copy flagged
+    assert d.loc[21, "contaminated"] == 0  # empty doc never flagged
+    assert d["contaminated"].sum() >= 1
+
+
+def test_pack_sequences_parity(ray_session, cur_dir, con):
+    from pytorchocr_ray.ops.curation import pack_sequences, pack_sequences_sql
+
+    for seq_len in (16, 256):
+        e = pack_sequences(cur_dir, seq_len=seq_len).to_pandas()
+        _match(
+            e,
+            con.sql(pack_sequences_sql(seq_len=seq_len)).df(),
+            ["doc_id"],
+        )
+        e = e.sort_values("doc_id").reset_index(drop=True)
+        # global exclusive prefix sum: offsets are the shifted cumsum
+        nt = e["n_tokens"].to_numpy()
+        assert (e["start_tok"].to_numpy() == np.cumsum(nt) - nt).all()
+        # chunk assignment is consistent with the offsets
+        assert (e["chunk_id"].to_numpy() == e["start_tok"].to_numpy() // seq_len).all()
+        zero = nt == 0
+        assert (e.loc[zero, "n_chunks"] == 0).all()
+        assert (e.loc[~zero, "n_chunks"] >= 1).all()
+
+
+def test_pack_sequences_on_testdata(ray_session):
+    """End-to-end over the shipped corpus: every token position is covered
+    exactly once (sum of tokens == final offset + last doc's tokens)."""
+    from pytorchocr_ray.ops.curation import pack_sequences
+
+    e = pack_sequences(SF_DIR).to_pandas().sort_values("doc_id")
+    assert len(e) == 500
+    total = e["n_tokens"].sum()
+    last = e.iloc[-1]
+    assert last["start_tok"] + last["n_tokens"] == total
+    # chunks spanned never exceed ceil(n_tokens/seq_len)+1 (offset straddle)
+    assert (e["n_chunks"] <= (e["n_tokens"] // 256) + 2).all()
+
+
+def test_repetition_stats_on_testdata(ray_session, duck_sf):
+    """Hash-level parity on the real corpus (the driver-gate mirror)."""
+    from pytorchocr_ray.ops.curation import repetition_stats, repetition_stats_sql
+
+    e = repetition_stats(SF_DIR).to_pandas()
+    o = duck_sf.sql(repetition_stats_sql()).df()
+    _match(e, o, ["doc_id"])
+    assert e["repetitive"].sum() > 0  # the rule fires on the real corpus
+
+
+def test_decontaminate_on_testdata(ray_session, duck_sf):
+    from pytorchocr_ray.ops.curation import decontaminate, decontaminate_sql
+
+    _match(
+        decontaminate(SF_DIR).to_pandas(),
+        duck_sf.sql(decontaminate_sql()).df(),
+        ["doc_id"],
+    )
+
+
+@pytest.fixture(scope="module")
+def duck_sf():
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return c
