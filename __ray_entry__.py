@@ -11,8 +11,10 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   events_value_quantile / sample_per_group / distinct_token_sketch /
   countmin_sketch / bloom_incremental_dedup / tfidf_top_terms
   -> 43/43; round 5 adds value_quantile_sketch (mergeable float-quantile
-  sketch) and audio_features_adpcm (native IMA-ADPCM compressed audio)
-  -> 45/45).
+  sketch), audio_features_adpcm (native IMA-ADPCM compressed audio),
+  repetition_stats / decontaminate / pack_sequences / lang_rebalance /
+  semdedup (corpus curation), and image_dhash_dups (perceptual-hash
+  image dedup, independent-oracle fixture) -> 51/51).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -244,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pytorchocr_ray.ops import (
         curation,
         dedup,
+        imagededup,
         relational,
         sampling,
         simsearch,
@@ -258,6 +261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "normalize_docs": textstats.normalize_docs,
         "doc_stats": textstats.doc_stats,
+        # token counting by BOTH brief-named rules (r5): whitespace words
+        # + a BPE-ish RE2 pre-tokenizer, integer compression-rate proxy
+        "bpe_token_count": textstats.bpe_token_count,
         "lang_id": textstats.lang_id,
         "term_freq": textstats.term_freq,
         "fingerprint": textstats.fingerprint,
@@ -286,6 +292,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix sum over per-block summaries — global token offsets
         # without a sort or a driver-side corpus scan
         "pack_sequences": curation.pack_sequences,
+        # temperature language rebalancing (r5): sqrt(n_min/n_lang) keep
+        # rate, deterministic LCG keep decision, shuffle-free two-pass
+        "lang_rebalance": curation.lang_rebalance,
+        # SemDeDup semantic near-dup (r5): broadcast k-means assignment
+        # + one cid-keyed groupby for in-cluster cosine flags
+        "semdedup": curation.semdedup,
+        # image perceptual-hash dedup (r5): actor-pool PNG decode + dHash
+        # over the sharded media table, one 8-byte-key groupby; oracle =
+        # independent integral-image hasher (fixture parquet)
+        "image_dhash_dups": lambda sf: imagededup.image_dhash_dups(
+            os.path.join(_corpus_for(sf), "media")
+        ),
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         # incremental dedup vs a corpus snapshot (r4): Bloom bitset over
@@ -360,6 +378,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from pytorchocr_ray.ops import (
         curation,
         dedup,
+        imagededup,
         relational,
         sampling,
         simsearch,
@@ -440,9 +459,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinct_token_sketch": textstats.distinct_token_sketch_sql(),
         "countmin_sketch": textstats.countmin_sketch_sql(),
         "tfidf_top_terms": textstats.tfidf_top_terms_sql(),
+        "bpe_token_count": textstats.bpe_token_count_sql(),
         "repetition_stats": curation.repetition_stats_sql(),
         "decontaminate": curation.decontaminate_sql(),
         "pack_sequences": curation.pack_sequences_sql(),
+        "lang_rebalance": curation.lang_rebalance_sql(),
+        "semdedup": curation.semdedup_sql(sf_dir),
+        "image_dhash_dups": imagededup.image_dhash_dups_sql(
+            os.path.join(corpus, "media")
+        ),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "bloom_incremental_dedup": dedup.bloom_incremental_dedup_sql(),
         "minhash_pairs": dedup.minhash_pairs_sql(),

@@ -271,6 +271,18 @@ def run_bench() -> dict:
     )
     timed("decontaminate", lambda: curation.decontaminate(SF_DIR).count())
     timed("pack_sequences", lambda: curation.pack_sequences(SF_DIR).count())
+    timed("lang_rebalance", lambda: curation.lang_rebalance(SF_DIR).count())
+    timed("semdedup", lambda: curation.semdedup(SF_DIR).count())
+    # image perceptual-hash dedup over the interleaved corpus media table
+    from pytorchocr_ray.ops import imagededup as _imgdd
+
+    timed(
+        "image_dhash_dups",
+        lambda: _imgdd.image_dhash_dups(
+            os.path.join(corpus, "media"), concurrency=max(2, NUM_CPUS - 2)
+        ).count(),
+    )
+    timed("bpe_token_count", lambda: textstats.bpe_token_count(SF_DIR).count())
     timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())
     timed("doc_stats", lambda: textstats.doc_stats(SF_DIR).to_pandas())

@@ -1,6 +1,6 @@
 """Corpus-curation operators for LLM training-data pipelines.
 
-Three operators the reference has no analog for (SURVEY §2.9 "beyond the
+Operators the reference has no analog for (SURVEY §2.9 "beyond the
 reference" family), each with a value-exact DuckDB twin:
 
 - :func:`repetition_stats` — Gopher-style repetition quality signals
@@ -14,6 +14,12 @@ reference" family), each with a value-exact DuckDB twin:
   global token offset of every document (a distributed exclusive
   prefix sum over per-block summaries) and the training chunks it
   lands in.
+- :func:`lang_rebalance` — temperature-based multilingual downsampling
+  (keep rate sqrt(n_min/n_lang), the XLM-R / mT5 α=0.5 mixing rule)
+  with a deterministic LCG keep decision instead of an RNG.
+- :func:`semdedup` — SemDeDup semantic near-dup flagging: k-means
+  cluster assignment (trained IVF centroid fixture) then in-cluster
+  quantized-cosine pairwise flags with the keep-first rule.
 
 Hashing follows ops/hashing.py: 31-bit polynomial char hash per token,
 Horner combination with B_TOK across the gram window — identical on the
@@ -386,6 +392,209 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN):
         )
 
     return ds.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------- temperature language rebalance
+
+REBAL_M = 2147483647  # shared with ops/sampling SAMPLE_M / hashing M31
+REBAL_A = 1103515245
+REBAL_C = 12345
+
+
+def lang_rebalance(sf_dir: str):
+    """Temperature-based language rebalancing (the multilingual-mixing
+    downsample of XLM-R / mT5: sampling share proportional to n_lang^α,
+    α = 0.5): keep each document of language *l* with probability
+    ``r_l = sqrt(n_min / n_l)`` — the rarest language keeps everything,
+    the head language is square-root-damped.  Determinism: the keep
+    decision is ``LCG(doc_id) mod M < floor(r_l * M)``, not an RNG, so
+    the kept set is reproducible across runs/cluster sizes and value-
+    exact against the SQL twin (sqrt/divide/floor are single IEEE ops,
+    bit-identical in numpy and DuckDB).
+
+    Scale shape: pass 1 reduces each block to per-language partial
+    counts (#langs x #blocks rows to the driver — language sets are
+    O(100) at any corpus size); the per-language keep thresholds are
+    broadcast as a tiny map; pass 2 streams the corpus through one
+    vectorized filter.  No shuffle at all.
+    """
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        langs, counts = np.unique(
+            np.asarray(batch["lang"].to_pylist()), return_counts=True
+        )
+        return pa.table(
+            {"lang": pa.array(langs.tolist()), "n": pa.array(counts)}
+        )
+
+    cnt = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .to_pandas()  # bounded: #langs x #blocks rows
+        .groupby("lang")["n"]
+        .sum()
+    )
+    nmin = int(cnt.min())
+    thr = {
+        lang: int(np.floor(np.sqrt(nmin / float(n)) * REBAL_M))
+        for lang, n in cnt.items()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        # same precondition as sample_per_group: id*A must not wrap int64
+        if len(ids) and int(ids.max()) >= 1 << 32:
+            raise ValueError(
+                "lang_rebalance requires doc_id < 2^32 (got "
+                f"{int(ids.max())}); pre-reduce ids mod {REBAL_M}"
+            )
+        langs = batch["lang"].to_pylist()
+        t = np.fromiter((thr[l] for l in langs), dtype=np.int64, count=len(langs))
+        h = (ids * REBAL_A + REBAL_C) % REBAL_M
+        return batch.select(["doc_id", "lang"]).filter(pa.array(h < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lang_rebalance_sql() -> str:
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (SELECT lang,
+             CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * {REBAL_M}) AS BIGINT)
+               AS thr
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE (CAST(d.doc_id AS BIGINT) * {REBAL_A} + {REBAL_C}) % {REBAL_M} < r.thr
+"""
+
+
+# ----------------------------------------------------- semantic dedup
+
+SEMDEDUP_THRESHOLD = 0.40  # see ops/dedup.EMB_THRESHOLD: the synthetic
+# embeddings are near-orthonormal (max pairwise cos ~0.51); a production
+# 0.95+ threshold would return zero flags and leave the op unexercised.
+SEMDEDUP_CENTROIDS = 16
+
+
+def semdedup(
+    sf_dir: str,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then flag near-duplicates ONLY within each cluster — pairwise cost
+    drops from O(N^2) to sum of O(|cluster|^2), and the cluster count is
+    the scale knob (the paper uses k ~ sqrt(N); here k rides the trained
+    IVF centroid fixture shared with ``topk_ivf``).
+
+    Returns (vec_id, cid, n_similar, is_dup): ``n_similar`` counts
+    LOWER-vec_id same-cluster neighbors with quantized cosine >=
+    threshold (the keep-first rule: the lowest id of a duplicate set is
+    its retained representative, ``is_dup = n_similar > 0``).
+
+    Scale shape: centroid assignment is a broadcast argmax per batch (no
+    shuffle); the single groupby(cid) co-locates each cluster's vectors
+    once; in-cluster pairwise cosine runs in fixed-size row chunks so
+    memory is O(chunk x |cluster|), never O(|cluster|^2) floats at once.
+    Assignment tie-break (lowest cid) and ranking are bit-identical to
+    the DuckDB twin via the exact integer-quantized cosine.
+    """
+    import pandas as pd
+    import ray
+
+    from .simsearch import _qcos, _quantize, _load_centroids, train_ivf_centroids
+
+    cent = _load_centroids(train_ivf_centroids(sf_dir, n_centroids))
+    cent_ref = ray.put(cent)
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = _quantize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cid = _qcos(emb, c).argmax(axis=1)  # first max = lowest cid on ties
+        return pa.table(
+            {
+                "vec_id": pa.array(vids),
+                "cid": pa.array(cid.astype(np.int64)),
+                "qd": pa.array(emb.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    def in_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(group["vec_id"].to_numpy(np.int64), kind="stable")
+        vids = group["vec_id"].to_numpy(np.int64)[order]
+        q = np.asarray(group["qd"].tolist(), dtype=np.int64)[order]
+        n = len(vids)
+        n_sim = np.zeros(n, dtype=np.int64)
+        chunk = 512
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            s = _qcos(q[lo:hi], q)  # (chunk, n)
+            # lower-vec_id neighbors only (vids sorted ascending)
+            mask = (s >= threshold) & (
+                np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+            )
+            n_sim[lo:hi] = mask.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": vids,
+                "cid": group["cid"].to_numpy(np.int64)[order],
+                "n_similar": n_sim,
+                "is_dup": (n_sim > 0).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(in_cluster, batch_format="pandas")
+    )
+
+
+def semdedup_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+) -> str:
+    """DuckDB twin: same trained centroid parquet, same quantization,
+    same assignment tie-break and exact-integer cosine threshold."""
+    from .simsearch import EMB_SCALE, train_ivf_centroids
+
+    cent_path = train_ivf_centroids(sf_dir, n_centroids)
+    cos = (
+        "list_dot_product({a}.qd, {b}.qd) "
+        "/ (sqrt(list_dot_product({a}.qd, {a}.qd)) "
+        "* sqrt(list_dot_product({b}.qd, {b}.qd)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+  FROM embeddings),
+cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
+         FROM read_parquet('{cent_path}')),
+assign AS (
+  SELECT vec_id, cid, qd FROM (
+    SELECT v.vec_id, c.cid, v.qd,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v', b='c')} DESC, c.cid ASC) AS rn
+    FROM e v CROSS JOIN cent c) WHERE rn = 1)
+SELECT x.vec_id, x.cid,
+       CAST(count(y.vec_id) AS BIGINT) AS n_similar,
+       CAST(count(y.vec_id) > 0 AS BIGINT) AS is_dup
+FROM assign x
+LEFT JOIN assign y
+  ON y.cid = x.cid AND y.vec_id < x.vec_id
+ AND {cos.format(a='x', b='y')} >= {threshold}
+GROUP BY 1, 2
+"""
 
 
 def pack_sequences_sql(seq_len: int = PACK_SEQ_LEN) -> str:

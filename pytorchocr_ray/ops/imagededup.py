@@ -1,0 +1,231 @@
+"""Image near-duplicate detection via perceptual difference-hash (dHash).
+
+The multimodal twin of the text dedup family (``ops/dedup.py``): every
+media payload (grayscale PNG) is reduced to a 64-bit dHash — an 8x8 grid
+of left-vs-right block-brightness comparisons over a 8-row x 9-column
+block-mean downscale — and exact-hash groups are flagged with the
+keep-first rule, exactly like ``dedup_exact`` over text.
+
+Determinism / parity: the downscale uses integer block SUMS and the
+brightness comparison is the cross-multiplied integer inequality
+``sum_l * area_r > sum_r * area_l`` (no float division anywhere), so two
+independent implementations agree bit-for-bit.  The SQL twin reads a
+fixture parquet of per-image hashes computed by an INDEPENDENT
+single-process oracle (integral-image corner arithmetic + Python-int
+compares, :func:`_oracle_dhash`) — the same fixture pattern as the
+extraction ground truth and the IVF centroid tables — and performs the
+duplicate grouping in SQL; a hash-verified match therefore checks BOTH
+the engine's decode+hash kernel against the oracle's and the distributed
+grouping against SQL semantics.
+
+Scale shape: decode+hash is an actor-pool ``map_batches`` over the
+sharded media table (payload bytes never shuffle); the only exchange is
+the groupby on the 8-byte hash.  The synthetic corpus has no planted
+byte-duplicates, so on testdata the groups are singletons (the kernel
+parity is the verified substance there); the grouping logic is exercised
+by the planted-duplicate unit test.
+
+No reference analog: the reference has no dedup at all (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DHASH_ROWS = 8
+DHASH_COLS = 9  # 8 comparisons per row -> 64 bits
+_MIN_H, _MIN_W = DHASH_ROWS, DHASH_COLS
+DHASH_EMPTY = -1  # sentinel for undecodable / sub-grid images (both sides)
+
+
+def _bounds(n: int, parts: int) -> np.ndarray:
+    """Integer block boundaries [floor(i*n/parts) for i in 0..parts]."""
+    return (np.arange(parts + 1, dtype=np.int64) * n) // parts
+
+
+def dhash_gray(img: np.ndarray) -> int:
+    """Engine kernel: vectorized 64-bit dHash of a uint8 grayscale image.
+
+    Two ``np.add.reduceat`` passes produce the 8x9 block-sum grid; the
+    bit for (row i, cols j|j+1) is the exact integer cross-multiply
+    ``sum_l * area_r > sum_r * area_l`` (area-weighted mean compare with
+    no division).  Images smaller than the grid hash to DHASH_EMPTY.
+    """
+    h, w = img.shape
+    if h < _MIN_H or w < _MIN_W:
+        return DHASH_EMPTY
+    rb = _bounds(h, DHASH_ROWS)
+    cb = _bounds(w, DHASH_COLS)
+    rs = np.add.reduceat(img.astype(np.int64), rb[:-1], axis=0)
+    cs = np.add.reduceat(rs, cb[:-1], axis=1)  # (8, 9) block sums
+    areas = np.outer(np.diff(rb), np.diff(cb))  # (8, 9) block pixel counts
+    left = cs[:, :-1] * areas[:, 1:]
+    right = cs[:, 1:] * areas[:, :-1]
+    bits = (left > right).reshape(-1)
+    val = (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        dtype=np.uint64
+    )
+    return int(val.view(np.int64))  # two's-complement int64 view
+
+
+def _oracle_dhash(img: np.ndarray) -> int:
+    """Independent single-process twin of :func:`dhash_gray`: block sums
+    from an INTEGRAL IMAGE (2-D prefix sum + four-corner arithmetic) and
+    per-bit Python-int cross-multiplies — a different algorithm arriving
+    at the same exact integers."""
+    h, w = img.shape
+    if h < _MIN_H or w < _MIN_W:
+        return DHASH_EMPTY
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.int64), axis=0), axis=1)
+    rb = [(i * h) // DHASH_ROWS for i in range(DHASH_ROWS + 1)]
+    cb = [(j * w) // DHASH_COLS for j in range(DHASH_COLS + 1)]
+
+    def cell(i: int, j: int) -> tuple[int, int]:
+        r0, r1, c0, c1 = rb[i], rb[i + 1], cb[j], cb[j + 1]
+        s = int(ii[r1, c1]) - int(ii[r0, c1]) - int(ii[r1, c0]) + int(ii[r0, c0])
+        return s, (r1 - r0) * (c1 - c0)
+
+    val = 0
+    bit = 0
+    for i in range(DHASH_ROWS):
+        for j in range(DHASH_COLS - 1):
+            sl, al = cell(i, j)
+            sr, ar = cell(i, j + 1)
+            if sl * ar > sr * al:
+                val |= 1 << bit
+            bit += 1
+    if val >= 1 << 63:
+        val -= 1 << 64  # int64 two's-complement view, matching the engine
+    return val
+
+
+def _media_files(media_dir: str) -> list[str]:
+    import os
+
+    if os.path.isfile(media_dir):
+        return [media_dir]
+    return [
+        os.path.join(media_dir, f)
+        for f in sorted(os.listdir(media_dir))
+        if f.endswith(".parquet")
+    ]
+
+
+def oracle_dhash_fixture(media_dir: str) -> str:
+    """Run the independent oracle over the media table -> fixture parquet
+    (media_ref, dhash), cached under /tmp keyed by module source + a
+    content signature of the media files (size+mtime — auto-busts on
+    regeneration, per ADVICE r4 on the IVF cache)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = _media_files(media_dir)
+    sig = "|".join(
+        f"{os.path.basename(f)}:{os.path.getsize(f)}:{os.stat(f).st_mtime_ns}"
+        for f in files
+    )
+    src = hashlib.sha256(open(os.path.abspath(__file__), "rb").read()).hexdigest()[:12]
+    tag = hashlib.sha256(f"{os.path.abspath(media_dir)}|{sig}|{src}".encode()).hexdigest()[:16]
+    out_dir = os.path.join("/tmp", "pytorchocr_dhash", tag)
+    path = os.path.join(out_dir, "dhash.parquet")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return path
+
+    from ..functions.png import decode_gray
+
+    refs: list[str] = []
+    hashes: list[int] = []
+    for f in files:
+        t = pq.read_table(f, columns=["media_ref", "data"])
+        for ref, data in zip(t["media_ref"].to_pylist(), t["data"].to_pylist()):
+            img = decode_gray(data)
+            refs.append(ref)
+            hashes.append(DHASH_EMPTY if img is None else _oracle_dhash(img))
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table({"media_ref": pa.array(refs), "dhash": pa.array(hashes, pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, path)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    return path
+
+
+class DHashStage:
+    """Actor-pool decode+hash stage: PNG decoder state is trivial, but the
+    actor form keeps the fat payload batches off the task-submission path
+    and matches the OcrStage deployment shape (batch in -> per-image
+    decode, vectorized hash kernel per image)."""
+
+    def __init__(self) -> None:
+        from ..functions.png import decode_gray
+
+        self._decode = decode_gray
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        out = np.empty(len(refs), dtype=np.int64)
+        for i, data in enumerate(batch["data"].to_pylist()):
+            img = self._decode(data)
+            out[i] = DHASH_EMPTY if img is None else dhash_gray(img)
+        return pa.table(
+            {"media_ref": pa.array(refs), "dhash": pa.array(out)}
+        )
+
+
+def image_dhash(
+    media_dir: str, concurrency: int | None = None, batch_size: int = 64
+):
+    """(media_ref, dhash) over a media parquet table/dir — the hash pass
+    alone (no shuffle).  Default pool size leaves CPUs for the read stage
+    (a pool holding EVERY cpu starves the upstream tasks and stalls the
+    streaming executor — observed as a livelock in a 4-cpu session)."""
+    import ray.data as rd
+
+    from . import pool_size
+
+    ds = rd.read_parquet(_media_files(media_dir))
+    return ds.map_batches(
+        DHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or pool_size(cap=32),
+    )
+
+
+def image_dhash_dups(media_dir: str, concurrency: int | None = None):
+    """(media_ref, dhash, group_n, is_dup): exact-dHash duplicate groups
+    with the keep-first rule (lowest media_ref is the retained
+    representative).  One groupby exchange carrying 8-byte keys."""
+    import pandas as pd
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("media_ref").reset_index(drop=True)
+        g["group_n"] = np.int64(len(g))
+        g["is_dup"] = (np.arange(len(g)) > 0).astype(np.int64)
+        return g[["media_ref", "dhash", "group_n", "is_dup"]]
+
+    return (
+        image_dhash(media_dir, concurrency=concurrency)
+        .groupby("dhash")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+
+def image_dhash_dups_sql(media_dir: str) -> str:
+    """DuckDB twin: the independent oracle's per-image hashes (fixture
+    parquet) + SQL window grouping."""
+    path = oracle_dhash_fixture(media_dir)
+    return f"""
+SELECT media_ref, dhash,
+       CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_n,
+       CAST(row_number() OVER (PARTITION BY dhash ORDER BY media_ref) > 1
+            AS BIGINT) AS is_dup
+FROM read_parquet('{path}')
+"""

@@ -111,6 +111,57 @@ FROM documents
 """
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, RE2-safe subset: contraction
+# suffixes, space-prefixed letter runs, digit runs, symbol runs — RE2 has
+# no lookahead, so the trailing-space alternations are dropped; both
+# pyarrow and DuckDB run RE2, so the count is bit-identical).  The tokens
+# a BPE vocab would merge FROM — the standard training-cost proxy when the
+# real tokenizer isn't in the data plane.
+BPE_ISH_RE = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(sf_dir: str):
+    """(doc_id, n_chars, n_words, n_bpe, chars_per_bpe_milli) — token
+    counting by BOTH rules the brief names: whitespace words (TOKEN_RE)
+    and a BPE-ish pre-tokenizer regex.  ``chars_per_bpe_milli`` =
+    floor(1000 * n_chars / n_bpe) (integer-exact compression-rate proxy;
+    0 when the doc is empty).  One shuffle-free vectorized pass."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        n_words = pc.cast(_count_re(text, TOKEN_RE), pa.int64()).to_numpy()
+        n_bpe = pc.cast(_count_re(text, BPE_ISH_RE), pa.int64()).to_numpy()
+        milli = np.where(n_bpe > 0, (1000 * n_chars) // np.maximum(n_bpe, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "n_bpe": pa.array(n_bpe),
+                "chars_per_bpe_milli": pa.array(milli.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_token_count_sql() -> str:
+    pat = BPE_ISH_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_words,
+       len(regexp_extract_all(text, '{pat}')) AS n_bpe,
+       CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+            THEN (1000 * length(text))
+                 // len(regexp_extract_all(text, '{pat}'))
+            ELSE 0 END AS chars_per_bpe_milli
+FROM documents
+"""
+
+
 def lang_id(sf_dir: str):
     """(doc_id, pred_lang) — stopword-hit argmax with fixed tie order
     en > de > fr > es > zh > und."""

@@ -158,4 +158,77 @@ def duck_sf():
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF_DIR}/documents.parquet')"
     )
+    c.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
     return c
+
+
+# ------------------------------------------ temperature language rebalance
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    """90/10 language skew: lang 'a' should be sqrt-damped (keep rate
+    sqrt(10/90) = 1/3), lang 'b' (the min) kept in full."""
+    d = tmp_path_factory.mktemp("rebalance")
+    langs = ["a"] * 90 + ["b"] * 10
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100), pa.int64()),
+                "text": pa.array(["x"] * 100),
+                "lang": pa.array(langs),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_lang_rebalance_parity_and_skew(ray_session, skew_dir):
+    from pytorchocr_ray.ops.curation import lang_rebalance, lang_rebalance_sql
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{skew_dir}/documents.parquet')"
+    )
+    e = lang_rebalance(skew_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    o = c.sql(lang_rebalance_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    assert e["doc_id"].tolist() == o["doc_id"].tolist()
+    assert e["lang"].tolist() == o["lang"].tolist()
+    kept = e.groupby("lang").size()
+    assert kept.get("b", 0) == 10  # min language keeps everything
+    # head language sqrt-damped: ~30 of 90 expected, LCG keeps it near rate
+    assert 10 <= kept.get("a", 0) <= 60
+
+
+def test_lang_rebalance_on_testdata(ray_session, duck_sf):
+    from pytorchocr_ray.ops.curation import lang_rebalance, lang_rebalance_sql
+
+    e = lang_rebalance(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    o = duck_sf.sql(lang_rebalance_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    assert e["doc_id"].tolist() == o["doc_id"].tolist()
+    assert e["lang"].tolist() == o["lang"].tolist()
+    # the shipped corpus is en-heavy: rebalancing must actually drop docs
+    assert 0 < len(e) < 500
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def test_semdedup_parity_on_testdata(ray_session, duck_sf):
+    from pytorchocr_ray.ops.curation import semdedup, semdedup_sql
+
+    e = semdedup(SF_DIR).to_pandas()
+    o = duck_sf.sql(semdedup_sql(SF_DIR)).df()
+    _match(e, o, ["vec_id"])
+    # keep-first rule: the lowest vec_id of every cluster is never a dup
+    firsts = e.sort_values("vec_id").groupby("cid").head(1)
+    assert (firsts["is_dup"] == 0).all()
+    assert (e["is_dup"] == (e["n_similar"] > 0).astype(np.int64)).all()
+    # threshold chosen so the op is exercised on the shipped corpus
+    assert e["is_dup"].sum() > 0
+    assert len(e) == 500  # every vector classified exactly once

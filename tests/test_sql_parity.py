@@ -551,3 +551,42 @@ def test_value_quantile_sketch_parity(ray_session):
     for col in ("rn", "event_id", "u"):
         assert e[col].astype(np.int64).equals(o[col].astype(np.int64)), col
     assert np.array_equal(e["value"].to_numpy(), o["value"].to_numpy())
+
+
+def test_bpe_token_count_parity(ray_session, tmp_path):
+    """BPE-ish pre-tokenizer count: RE2 semantics agree between the
+    pyarrow engine pass and the DuckDB twin on contraction / digit /
+    symbol / whitespace edge cases."""
+    from pytorchocr_ray.ops.textstats import bpe_token_count, bpe_token_count_sql
+
+    texts = [
+        "Hello world's fate, it'll be 42 tokens... or-not 3.14!",
+        "",
+        "   ",
+        "it's we've they'd I'm you're can't",
+        "word",
+        "a1b2 c3",
+        "!!!@@@  ###",
+        "tab\tand\nnewline mix 007",
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    e = bpe_token_count(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    o = c.sql(bpe_token_count_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    for col in ("n_chars", "n_words", "n_bpe", "chars_per_bpe_milli"):
+        assert e[col].astype(np.int64).tolist() == o[col].astype(np.int64).tolist(), col
+    assert e.loc[1, "n_bpe"] == 0 and e.loc[1, "chars_per_bpe_milli"] == 0
+    assert (e.loc[e["n_bpe"] > 0, "chars_per_bpe_milli"] > 0).all()
