@@ -13,8 +13,10 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   -> 43/43; round 5 adds value_quantile_sketch (mergeable float-quantile
   sketch), audio_features_adpcm (native IMA-ADPCM compressed audio),
   repetition_stats / decontaminate / pack_sequences / lang_rebalance /
-  semdedup (corpus curation), and image_dhash_dups (perceptual-hash
-  image dedup, independent-oracle fixture) -> 51/51).
+  semdedup (corpus curation), bpe_token_count, image_dhash_dups /
+  image_dhash_near (perceptual-hash image dedup + Hamming-banded
+  near-dup, independent-oracle fixture), and audio_features_mulaw
+  (native G.711 mu-law, the second compressed codec) -> 54/54).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -107,6 +109,31 @@ def _adpcm_audio_dir(sf_dir: str) -> str:
     from pytorchocr_ray.synth.multimodal import synth_adpcm_audio_parquet
 
     return synth_adpcm_audio_parquet(min(100, _n_rows(sf_dir)), seed=_SEED)
+
+
+def _mulaw_audio_dir(sf_dir: str) -> str:
+    from pytorchocr_ray.synth.multimodal import synth_mulaw_audio_parquet
+
+    return synth_mulaw_audio_parquet(min(100, _n_rows(sf_dir)), seed=_SEED)
+
+
+def _audio_features_mulaw(sf_dir: str) -> Any:
+    """COMPRESSED (G.711 mu-law 2:1) WAV payloads through the native
+    table-gather decoder (r5) — expected features from an independent
+    per-sample reference expansion (lossy codec, so both decoders must
+    agree on the decoded stream bit-for-bit; asserted at synthesis)."""
+    import os
+
+    import ray.data as rd
+
+    from pytorchocr_ray.ops import pool_size
+    from pytorchocr_ray.stages.multimodal import audio_features, real_audio_decode
+
+    ds = rd.read_parquet(
+        os.path.join(_mulaw_audio_dir(sf_dir), "payload.parquet"),
+        override_num_blocks=8,
+    )
+    return audio_features(ds, concurrency=pool_size(), decoder=real_audio_decode)
 
 
 def _audio_features_adpcm(sf_dir: str) -> Any:
@@ -304,6 +331,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_dups": lambda sf: imagededup.image_dhash_dups(
             os.path.join(_corpus_for(sf), "media")
         ),
+        # image NEAR-dup flags (r5): Hamming-banded LSH over the dHash
+        # (keep-first rule; flags not pairs — pair mass is quadratic on
+        # low-entropy hashes), hot buckets split on complementary-band
+        # bits, degenerate pileups skip-and-counted — SQL-mirrored
+        "image_dhash_near": lambda sf: imagededup.image_dhash_near(
+            os.path.join(_corpus_for(sf), "media")
+        ),
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         # incremental dedup vs a corpus snapshot (r4): Bloom bitset over
@@ -337,6 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compressed audio for real (r5): IMA-ADPCM 4:1 WAV via the
         # in-engine numpy decoder, no optional deps
         "audio_features_adpcm": _audio_features_adpcm,
+        # G.711 mu-law compressed audio through the native table-gather
+        # decoder (r5): second compressed codec exercised end to end
+        "audio_features_mulaw": _audio_features_mulaw,
         "video_frames_real": _video_frames_real,
         # engine evaluation (det IoU + rec accuracy, partial+final agg)
         "evaluate_engine": _evaluate_engine,
@@ -434,6 +471,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT sample_ref, window_idx, energy, zcr "
             f"FROM read_parquet('{os.path.join(_adpcm_audio_dir(sf_dir), 'expected.parquet')}')"
         ),
+        "audio_features_mulaw": (
+            "SELECT sample_ref, window_idx, energy, zcr "
+            f"FROM read_parquet('{os.path.join(_mulaw_audio_dir(sf_dir), 'expected.parquet')}')"
+        ),
         "video_frames_real": (
             "SELECT frame_ref, frame_idx, mean_luma "
             f"FROM read_parquet('{os.path.join(_real_video_dir(sf_dir), 'expected.parquet')}')"
@@ -466,6 +507,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lang_rebalance": curation.lang_rebalance_sql(),
         "semdedup": curation.semdedup_sql(sf_dir),
         "image_dhash_dups": imagededup.image_dhash_dups_sql(
+            os.path.join(corpus, "media")
+        ),
+        "image_dhash_near": imagededup.image_dhash_near_sql(
             os.path.join(corpus, "media")
         ),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -282,7 +282,35 @@ def run_bench() -> dict:
             os.path.join(corpus, "media"), concurrency=max(2, NUM_CPUS - 2)
         ).count(),
     )
+    timed(
+        "image_dhash_near",
+        lambda: _imgdd.image_dhash_near(
+            os.path.join(corpus, "media"), concurrency=max(2, NUM_CPUS - 2)
+        ).count(),
+    )
     timed("bpe_token_count", lambda: textstats.bpe_token_count(SF_DIR).count())
+
+    # G.711 mu-law decode + features (second native compressed codec)
+    def run_mulaw():
+        import ray.data as rd
+
+        from pytorchocr_ray.ops import pool_size
+        from pytorchocr_ray.stages.multimodal import (
+            audio_features,
+            real_audio_decode,
+        )
+        from pytorchocr_ray.synth.multimodal import synth_mulaw_audio_parquet
+
+        d = synth_mulaw_audio_parquet(100, seed=2024)
+        ds = rd.read_parquet(
+            os.path.join(d, "payload.parquet"), override_num_blocks=8
+        )
+        audio_features(
+            ds, concurrency=pool_size(), decoder=real_audio_decode
+        ).count()
+
+    run_mulaw()  # untimed: builds the fixture on first call
+    timed("audio_mulaw", run_mulaw)
     timed("term_freq", lambda: textstats.term_freq(SF_DIR).to_pandas())
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR).to_pandas())
     timed("doc_stats", lambda: textstats.doc_stats(SF_DIR).to_pandas())

@@ -3,8 +3,10 @@
 The multimodal twin of the text dedup family (``ops/dedup.py``): every
 media payload (grayscale PNG) is reduced to a 64-bit dHash — an 8x8 grid
 of left-vs-right block-brightness comparisons over a 8-row x 9-column
-block-mean downscale — and exact-hash groups are flagged with the
-keep-first rule, exactly like ``dedup_exact`` over text.
+block-mean downscale — then (a) exact-hash groups are flagged with the
+keep-first rule (:func:`image_dhash_dups`, like ``dedup_exact``) and
+(b) NEAR-duplicate pairs at Hamming 1..3 are found by 16-bit LSH banding
+(:func:`image_dhash_near`, like ``simhash_pairs``).
 
 Determinism / parity: the downscale uses integer block SUMS and the
 brightness comparison is the cross-multiplied integer inequality
@@ -228,4 +230,225 @@ SELECT media_ref, dhash,
        CAST(row_number() OVER (PARTITION BY dhash ORDER BY media_ref) > 1
             AS BIGINT) AS is_dup
 FROM read_parquet('{path}')
+"""
+
+
+# ------------------------------------------------ near-dup (Hamming band)
+#
+# Perceptual NEAR-duplicate FLAGS: an image is a near-dup when another
+# image with a SMALLER media_ref sits within Hamming 1..max_hamming on
+# the 64-bit dHash (hamming 0 == perceptual-identical is
+# image_dhash_dups' answer and is EXCLUDED here; the smallest ref of a
+# near set is its retained representative — the keep-first rule used by
+# every dedup op in this engine).  LSH banding: 4 bands of 16 bits — any
+# pair within hamming <= 3 agrees exactly on >= 1 band (pigeonhole), so
+# banding has full recall at the threshold.
+#
+# Output is ONE ROW PER IMAGE, not pairs: measured on the synthetic
+# corpus, raw pair output is quadratic (1795 images -> 545k pairs at
+# hamming <= 3 — glyph renders produce low-entropy hashes), which at
+# 10^8 images is an output-mass explosion no matter how the enumeration
+# is bounded.  Flags keep the result linear while the in-bucket work
+# stays bounded by the guards below.
+#
+# dHash bands on structured images are HEAVILY skewed (75% of the
+# synthetic corpus shares one band-3 key: near-uniform bottom image rows
+# all compare equal), so in-bucket enumeration needs two guards, both
+# SQL-mirrored exactly:
+#   1. a (band, key) bucket over ``bucket_cap`` is split by the 16 bits
+#      of the complementary band ((b+2) % 4) — same recall caveat as
+#      simhash_pairs (a <= max_hamming pair survives unless its
+#      differing bits hit the complement of every agreeing band);
+#   2. a (band, key, key2) bucket STILL over the cap is dropped and
+#      counted (the n-gram df-cap precedent): these are degenerate
+#      perceptual pileups (near-flat images) whose quadratic pair mass
+#      is spam you'd prune upstream at web scale; the skip is logged.
+
+NEAR_BANDS = 4
+NEAR_BAND_BITS = 16
+NEAR_BUCKET_CAP = 4096
+
+
+def image_dhash_near(
+    media_dir: str,
+    max_hamming: int = 3,
+    bucket_cap: int = NEAR_BUCKET_CAP,
+    concurrency: int | None = None,
+):
+    """(media_ref, dhash, near_dup): near_dup = 1 iff another image with
+    a smaller media_ref sits within Hamming 1..max_hamming (see module
+    note — flags, not pairs, keep the output linear).  Undecodable /
+    sub-grid images (dhash == DHASH_EMPTY) are excluded.  One
+    band-exploded groupby whose rows are <= ~40 bytes; payload bytes
+    never shuffle; the per-image final merge is a max() aggregate."""
+    import logging
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    hashes = image_dhash(media_dir, concurrency=concurrency)
+    mask16 = np.int64((1 << NEAR_BAND_BITS) - 1)
+
+    def _keys(h: np.ndarray) -> np.ndarray:
+        # arithmetic shift + mask extracts bits [16b, 16b+16) exactly as
+        # DuckDB's (dhash >> lo) & 65535 (parity-checked on negatives)
+        return np.stack(
+            [(h >> np.int64(16 * b)) & mask16 for b in range(NEAR_BANDS)],
+            axis=1,
+        )
+
+    # hot-bucket pre-pass: (band, key) histogram, bounded by the key
+    # space (4 x 2^16 rows max) regardless of corpus size
+    def key_counts(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["dhash"].to_pylist(), dtype=np.int64)
+        h = h[h != DHASH_EMPTY]
+        keys = _keys(h)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "band": np.tile(
+                        np.arange(NEAR_BANDS, dtype=np.int64), len(h)
+                    ),
+                    "key": keys.reshape(-1),
+                }
+            )
+            .groupby(["band", "key"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"}),
+            preserve_index=False,
+        )
+
+    cnt = (
+        hashes.map_batches(key_counts, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .sum("c")
+        .to_pandas()
+    )
+    over = cnt[cnt["sum(c)"] > bucket_cap]
+    hot_by_band = {
+        int(b): np.asarray(sorted(g["key"].astype(int)), dtype=np.int64)
+        for b, g in over.groupby("band")
+    }
+    if hot_by_band:
+        logging.getLogger(__name__).info(
+            "image_dhash_near: splitting %d hot (band, key) buckets",
+            sum(len(v) for v in hot_by_band.values()),
+        )
+    hot_ref = ray.put(hot_by_band)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        refs = np.asarray(batch["media_ref"].to_pylist(), dtype=object)
+        h = np.asarray(batch["dhash"].to_pylist(), dtype=np.int64)
+        keep = h != DHASH_EMPTY
+        refs, h = refs[keep], h[keep]
+        n = len(h)
+        keys = _keys(h)
+        hot_ = ray.get(hot_ref)
+        key2 = np.zeros((n, NEAR_BANDS), dtype=np.int64)
+        for b in range(NEAR_BANDS):
+            hk = hot_.get(b)
+            if hk is None:
+                continue
+            sub = (h >> np.int64(16 * ((b + 2) % NEAR_BANDS))) & mask16
+            is_hot = np.isin(keys[:, b], hk)
+            key2[is_hot, b] = sub[is_hot]
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.tile(np.arange(NEAR_BANDS, dtype=np.int64), n)
+                ),
+                "key": pa.array(keys.reshape(-1)),
+                "key2": pa.array(key2.reshape(-1)),
+                "media_ref": pa.array(np.repeat(refs, NEAR_BANDS).tolist()),
+                "dhash": pa.array(np.repeat(h, NEAR_BANDS)),
+            }
+        )
+
+    def bucket_flags(group: pd.DataFrame) -> pd.DataFrame:
+        refs = group["media_ref"].to_numpy(object)
+        h = group["dhash"].to_numpy(np.int64)
+        order = np.argsort(refs, kind="stable")
+        refs, h = refs[order], h[order]
+        n = len(refs)
+        flags = np.zeros(n, dtype=np.int64)
+        if n > bucket_cap:  # guard 2: degenerate pileup, skip-and-count
+            logging.getLogger(__name__).info(
+                "image_dhash_near: dropping degenerate bucket of %d images",
+                n,
+            )
+        elif n > 1:
+            from .dedup import _popcount32
+
+            hu = h.view(np.uint64)
+            chunk = 1024
+            for lo in range(1, n, chunk):
+                hi = min(lo + chunk, n)
+                # rows lo..hi vs ALL columns; a row only looks at
+                # strictly-smaller refs (columns j < row index)
+                x = hu[lo:hi, None] ^ hu[None, :]
+                ham = _popcount32(
+                    (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                ) + _popcount32((x >> np.uint64(32)).astype(np.uint32))
+                near = (ham >= 1) & (ham <= max_hamming) & (
+                    np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+                )
+                flags[lo:hi] = near.any(axis=1)
+        return pd.DataFrame(
+            {"media_ref": refs, "dhash": h, "near_dup": flags}
+        )
+
+    flags = (
+        hashes.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key", "key2"])
+        .map_groups(bucket_flags, batch_format="pandas")
+    )
+    # union across bands: flagged anywhere -> flagged (dhash is constant
+    # per ref, Min keeps it verbatim)
+    from ray.data.aggregate import Max
+
+    return flags.groupby("media_ref").aggregate(
+        Min("dhash", alias_name="dhash"),
+        Max("near_dup", alias_name="near_dup"),
+    )
+
+
+def image_dhash_near_sql(
+    media_dir: str,
+    max_hamming: int = 3,
+    bucket_cap: int = NEAR_BUCKET_CAP,
+) -> str:
+    """DuckDB twin over the independent-oracle fixture hashes, mirroring
+    BOTH hot-bucket guards via window counts and the keep-first flag via
+    a banded self-join EXISTS."""
+    path = oracle_dhash_fixture(media_dir)
+    band_rows = ", ".join(
+        f"({b}, {16 * b}, {16 * ((b + 2) % NEAR_BANDS)})"
+        for b in range(NEAR_BANDS)
+    )
+    return f"""
+WITH h AS (SELECT media_ref, dhash FROM read_parquet('{path}')
+           WHERE dhash != {DHASH_EMPTY}),
+bands(band, lo, lo2) AS (VALUES {band_rows}),
+b0 AS (SELECT media_ref, dhash, band, lo2,
+              (dhash >> lo) & 65535 AS key
+       FROM h CROSS JOIN bands),
+b1 AS (SELECT media_ref, dhash, band, key,
+              CASE WHEN count(*) OVER (PARTITION BY band, key)
+                        > {bucket_cap}
+                   THEN (dhash >> lo2) & 65535 ELSE 0 END AS key2
+       FROM b0),
+b AS (SELECT * FROM (
+        SELECT media_ref, dhash, band, key, key2,
+               count(*) OVER (PARTITION BY band, key, key2) AS bn
+        FROM b1) WHERE bn <= {bucket_cap}),
+flagged AS (
+  SELECT DISTINCT x.media_ref
+  FROM b x JOIN b y
+    ON x.band = y.band AND x.key = y.key AND x.key2 = y.key2
+   AND y.media_ref < x.media_ref
+  WHERE bit_count(xor(x.dhash, y.dhash)) BETWEEN 1 AND {max_hamming})
+SELECT h.media_ref, h.dhash,
+       CAST(f.media_ref IS NOT NULL AS BIGINT) AS near_dup
+FROM h LEFT JOIN flagged f USING (media_ref)
 """

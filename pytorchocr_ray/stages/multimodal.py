@@ -210,6 +210,51 @@ def adpcm_wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     return flat.astype(np.int32), rate
 
 
+# --------------------------------------------- G.711 mu-law decode (r5)
+#
+# The second natively-decoded compressed audio format (after IMA-ADPCM):
+# 8-bit logarithmic PCM (WAV format tag 0x07, 2:1 vs int16).  Stateless
+# per byte, so the engine decode is ONE 256-entry table gather — the
+# table is built from the G.711 expansion formula at import time and the
+# synth fixture asserts it agrees byte-for-byte with an independent
+# per-sample reference loop.
+
+_MULAW_BIAS = 0x84
+
+
+def _build_mulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # G.711 bytes are inverted
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    t = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return np.where(sign != 0, -t, t).astype(np.int32)
+
+
+MULAW_TABLE = _build_mulaw_table()
+
+
+def mulaw_wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono G.711 mu-law WAV (format tag 0x07) -> (int32
+    samples, sample_rate).  One vectorized table gather."""
+    ch = _wav_chunks(data)
+    fmt = ch["fmt "]
+    tag = int.from_bytes(fmt[0:2], "little")
+    if tag != 0x07:
+        raise NotImplementedError(f"mulaw_wav_decode: format tag {tag:#x}")
+    if int.from_bytes(fmt[2:4], "little") != 1:
+        raise NotImplementedError("only mono mu-law supported")
+    rate = int.from_bytes(fmt[4:8], "little")
+    raw = np.frombuffer(ch["data"], dtype=np.uint8)
+    n_samples = (
+        int.from_bytes(ch["fact"][:4], "little") if "fact" in ch else None
+    )
+    out = MULAW_TABLE[raw]
+    if n_samples is not None:
+        out = out[:n_samples]
+    return out, rate
+
+
 def real_audio_decode(data: bytes, n_samples: int, sample_rate: int) -> np.ndarray:
     """Decoder for real audio payloads, drop-in for ``fake_audio_decode``
     (same signature, so ``audio_features(ds, decoder=real_audio_decode)``).
@@ -230,14 +275,18 @@ def real_audio_decode(data: bytes, n_samples: int, sample_rate: int) -> np.ndarr
     except ImportError:
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             fmt = _wav_chunks(data).get("fmt ", b"\x01\x00")
-            if int.from_bytes(fmt[0:2], "little") == 0x11:
+            tag = int.from_bytes(fmt[0:2], "little")
+            if tag == 0x11:
                 out, sr = adpcm_wav_decode(data)
+            elif tag == 0x07:
+                out, sr = mulaw_wav_decode(data)
             else:
                 out, sr = wav_pcm_decode(data)
         else:
             raise NotImplementedError(
                 "compressed audio needs soundfile/ffmpeg (not in this "
-                "container); PCM and IMA-ADPCM WAV decode natively"
+                "container); PCM, IMA-ADPCM and G.711 mu-law WAV decode "
+                "natively"
             )
     if len(out) != n_samples or sr != sample_rate:
         raise ValueError(

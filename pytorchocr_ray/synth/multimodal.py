@@ -477,3 +477,140 @@ def synth_adpcm_audio_parquet(
     with open(os.path.join(d, "_SUCCESS"), "w") as f:
         f.write("ok")
     return d
+
+
+# -------------------------------------------- G.711 mu-law payloads (r5)
+#
+# Second native compressed codec (after IMA-ADPCM): stateless 8-bit
+# logarithmic PCM, WAV format tag 0x07.  Same oracle discipline: the
+# encoder and reference decoder here are independent per-sample loops;
+# the engine decodes the same bytes with one table gather
+# (stages/multimodal.py MULAW_TABLE), and the fixture asserts the two
+# decoders agree bit-for-bit at synthesis time.  mu-law is LOSSY, so
+# expected features come from the reference-DECODED samples.
+
+_MULAW_CLIP = 32635
+_MULAW_BIAS = 0x84
+
+
+def _mulaw_encode_sample(v: int) -> int:
+    """One G.711 compression step (reference loop form)."""
+    sign = 0x80 if v < 0 else 0
+    v = min(abs(v), _MULAW_CLIP) + _MULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (v & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (v >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa)) & 0xFF
+
+
+def mulaw_encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode int16 mono samples as a G.711 mu-law WAV (format tag
+    0x07, 8 bits/sample), plain per-sample reference loop."""
+    data = bytes(_mulaw_encode_sample(int(v)) for v in samples)
+    fmt = (
+        (0x07).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")  # byte rate == sample rate at 8 bits
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits per sample
+    )
+    fact = len(data).to_bytes(4, "little")
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + len(fact).to_bytes(4, "little") + fact
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def mulaw_reference_decode(data: bytes) -> np.ndarray:
+    """Per-sample reference expansion (independent of the engine's table
+    gather): the G.711 formula applied byte by byte."""
+    from ..stages.multimodal import _wav_chunks
+
+    raw = _wav_chunks(data)["data"]
+    out = []
+    for byte in raw:
+        u = (~byte) & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        t = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+        out.append(-t if sign else t)
+    return np.asarray(out, dtype=np.int32)
+
+
+def synth_mulaw_audio_parquet(
+    n_rows: int, seed: int = 42, window: int = 1024, hop: int = 512
+) -> str:
+    """Dir with payload.parquet (mu-law WAV rows, PCM-fixture schema) +
+    expected.parquet from the REFERENCE-decoded samples.  Mixed-scale
+    signals (quiet + loud segments) so the logarithmic segments are all
+    exercised."""
+    d = _real_dir("mulaw_audio", n_rows, seed)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    from ..stages.multimodal import mulaw_wav_decode
+
+    refs, datas, rates, lens = [], [], [], []
+    e_ref, e_idx, e_en, e_zc = [], [], [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng((seed << 21) + i)
+        n = int(rng.integers(2048, 8192))
+        # amplitude sweeps across the mu-law segment range
+        amp = np.exp(rng.uniform(np.log(16), np.log(24000), size=n))
+        samples = np.clip(
+            (amp * rng.choice([-1.0, 1.0], size=n)
+             * np.abs(np.sin(np.arange(n) / 50.0))).astype(np.int64),
+            -32768, 32767,
+        )
+        data = mulaw_encode_wav(samples, 8000)
+        ref_dec = mulaw_reference_decode(data).astype(np.int64)
+        eng_dec, eng_rate = mulaw_wav_decode(data)
+        assert eng_rate == 8000 and np.array_equal(
+            ref_dec, eng_dec.astype(np.int64)
+        ), f"mu-law decoder divergence on row {i}"
+        refs.append(f"ulaw-{i:06d}")
+        datas.append(data)
+        rates.append(8000)
+        lens.append(n)
+        k = 0
+        while k * hop + window <= n:
+            win = ref_dec[k * hop : k * hop + window]
+            e_ref.append(f"ulaw-{i:06d}")
+            e_idx.append(k)
+            e_en.append(int((win * win).sum()) / float(1 << 30))
+            neg = win < 0
+            e_zc.append(int((neg[1:] != neg[:-1]).sum()) / window)
+            k += 1
+    pq.write_table(
+        pa.table(
+            {
+                "sample_ref": pa.array(refs, pa.string()),
+                "data": pa.array(datas, pa.binary()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(lens, pa.int32()),
+            }
+        ),
+        os.path.join(d, "payload.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "sample_ref": pa.array(e_ref, pa.string()),
+                "window_idx": pa.array(e_idx, pa.int32()),
+                "energy": pa.array(e_en, pa.float64()),
+                "zcr": pa.array(e_zc, pa.float64()),
+            }
+        ),
+        os.path.join(d, "expected.parquet"),
+    )
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return d

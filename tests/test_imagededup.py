@@ -15,6 +15,8 @@ from pytorchocr_ray.ops.imagededup import (
     dhash_gray,
     image_dhash_dups,
     image_dhash_dups_sql,
+    image_dhash_near,
+    image_dhash_near_sql,
 )
 
 
@@ -98,3 +100,82 @@ def test_image_dhash_dups_parity_and_groups(ray_session, media_dir):
     assert r.loc["img-04", "is_dup"] == 1 and r.loc["img-05", "is_dup"] == 1
     assert r.loc["img-01", "group_n"] == 3
     assert r.loc["img-02", "group_n"] == 1 and r.loc["img-02", "is_dup"] == 0
+
+
+@pytest.fixture(scope="module")
+def near_dir(tmp_path_factory):
+    """Media table with a planted NEAR pair: img-01 is img-00 with one
+    block's brightness nudged (small Hamming distance, not identical);
+    img-03 copies img-02 exactly (hamming 0 — must NOT appear in the
+    near output); img-04 is unrelated."""
+    from pytorchocr_ray.functions.png import encode_gray
+
+    d = tmp_path_factory.mktemp("near")
+    rng = np.random.default_rng(29)
+    base = rng.integers(0, 256, (64, 72), dtype=np.uint8)
+    near = base.copy()
+    near[0:8, 0:8] = 255  # flip a handful of top-left comparisons
+    other = rng.integers(0, 256, (64, 72), dtype=np.uint8)
+    imgs = [base, near, other, other.copy(),
+            rng.integers(0, 256, (48, 60), dtype=np.uint8)]
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": pa.array([f"img-{i:02d}" for i in range(len(imgs))]),
+                "data": pa.array([encode_gray(im) for im in imgs], pa.binary()),
+            }
+        ),
+        os.path.join(str(d), "part-0.parquet"),
+    )
+    # make sure the plant really is a near (1..6) pair at the hash level
+    hams = bin(
+        int(np.int64(dhash_gray(base)).view(np.uint64))
+        ^ int(np.int64(dhash_gray(near)).view(np.uint64))
+    ).count("1")
+    assert 1 <= hams <= 6, hams
+    return str(d), hams
+
+
+def _near_match(media_dir, con, **kw):
+    e = (
+        image_dhash_near(media_dir, concurrency=2, **kw)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    o = (
+        con.sql(image_dhash_near_sql(media_dir, **kw))
+        .df()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    assert e["media_ref"].tolist() == o["media_ref"].tolist()
+    assert e["dhash"].astype(np.int64).tolist() == o["dhash"].astype(
+        np.int64
+    ).tolist()
+    assert e["near_dup"].astype(np.int64).tolist() == o["near_dup"].astype(
+        np.int64
+    ).tolist()
+    return e.set_index("media_ref")
+
+
+def test_image_dhash_near_parity(ray_session, near_dir):
+    media_dir, ham = near_dir
+    con = duckdb.connect()
+    r = _near_match(media_dir, con, max_hamming=max(3, ham))
+    # planted near pair: img-01 (larger ref) is flagged, img-00 (the
+    # retained representative) is not
+    assert r.loc["img-01", "near_dup"] == 1
+    assert r.loc["img-00", "near_dup"] == 0
+    # hamming-0 (exact copy img-03 of img-02) is image_dhash_dups'
+    # answer: NOT flagged here
+    assert r.loc["img-03", "near_dup"] == 0
+    assert r.loc["img-04", "near_dup"] == 0  # unrelated image
+
+
+def test_image_dhash_near_cap_parity(ray_session, near_dir):
+    """Both hot-bucket guards active (cap=1 forces split + drop on every
+    multi-member bucket) — engine and SQL must agree exactly."""
+    media_dir, ham = near_dir
+    con = duckdb.connect()
+    _near_match(media_dir, con, max_hamming=max(3, ham), bucket_cap=1)

@@ -366,3 +366,77 @@ def test_adpcm_stage_end_to_end(ray_session):
     assert out["sample_ref"].equals(exp["sample_ref"])
     assert np.array_equal(out["energy"].to_numpy(), exp["energy"].to_numpy())
     assert np.array_equal(out["zcr"].to_numpy(), exp["zcr"].to_numpy())
+
+
+def test_mulaw_roundtrip_decoders_agree():
+    """G.711 mu-law: the engine's 256-entry table gather and the
+    independent per-sample reference expansion must agree bit-for-bit,
+    across the full amplitude range and at the clip rails."""
+    from pytorchocr_ray.stages.multimodal import mulaw_wav_decode
+    from pytorchocr_ray.synth.multimodal import (
+        mulaw_encode_wav,
+        mulaw_reference_decode,
+    )
+
+    rng = np.random.default_rng(13)
+    wide = np.clip(
+        (np.exp(rng.uniform(np.log(1), np.log(32000), 3000))
+         * rng.choice([-1, 1], 3000)).astype(np.int64),
+        -32768, 32767,
+    )
+    rails = np.array([0, 1, -1, 32767, -32768, 32635, -32635, 131, -132])
+    for samples in (wide, rails):
+        data = mulaw_encode_wav(samples, 8000)
+        ref = mulaw_reference_decode(data)
+        eng, rate = mulaw_wav_decode(data)
+        assert rate == 8000
+        assert np.array_equal(ref, eng)
+        assert len(eng) == len(samples)
+
+
+def test_mulaw_log_quantization_error_bound():
+    """mu-law error is RELATIVE (logarithmic segments): ~= 3% of
+    amplitude everywhere, so loud and quiet signals both reconstruct
+    within the G.711 bound."""
+    from pytorchocr_ray.stages.multimodal import mulaw_wav_decode
+    from pytorchocr_ray.synth.multimodal import mulaw_encode_wav
+
+    t = np.arange(4096)
+    for amp in (200, 2000, 20000):
+        samples = (amp * np.sin(2 * np.pi * t / 256)).astype(np.int64)
+        dec, _ = mulaw_wav_decode(mulaw_encode_wav(samples, 8000))
+        err = np.abs(dec.astype(np.int64) - samples)
+        big = np.abs(samples) > amp // 4
+        rel = err[big] / np.abs(samples[big])
+        assert np.median(rel) < 0.04, (amp, np.median(rel))
+
+
+def test_mulaw_real_audio_decode_routing(ray_session):
+    """End to end through the actor-pool feature stage: mu-law payloads
+    produce exactly the reference-decoded features."""
+    import os
+
+    import ray.data as rd
+
+    from pytorchocr_ray.stages.multimodal import audio_features, real_audio_decode
+    from pytorchocr_ray.synth.multimodal import synth_mulaw_audio_parquet
+
+    d = synth_mulaw_audio_parquet(6, seed=7)
+    ds = rd.read_parquet(os.path.join(d, "payload.parquet"))
+    got = (
+        audio_features(ds, concurrency=2, decoder=real_audio_decode)
+        .to_pandas()
+        .sort_values(["sample_ref", "window_idx"])
+        .reset_index(drop=True)
+    )
+    import pyarrow.parquet as _pq
+
+    want = (
+        _pq.read_table(os.path.join(d, "expected.parquet"))
+        .to_pandas()
+        .sort_values(["sample_ref", "window_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["sample_ref"].tolist() == want["sample_ref"].tolist()
+    assert np.allclose(got["energy"], want["energy"], rtol=0, atol=0)
+    assert np.allclose(got["zcr"], want["zcr"], rtol=0, atol=0)
