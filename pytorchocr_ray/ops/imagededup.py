@@ -287,8 +287,17 @@ def image_dhash_near(
     import ray
     from ray.data.aggregate import Min
 
-    hashes = image_dhash(media_dir, concurrency=concurrency)
+    from .dedup import _auto_salts
+
+    # materialize the (media_ref, dhash) table ONCE: it is consumed twice
+    # (hot-bucket pre-pass + band explode) and re-deriving it would decode
+    # every payload a second time — the decode dominates the op.  The
+    # materialized table is ~40 bytes/row with NO payload bytes (4 GB at
+    # 10^8 images, spread across the object store), so this is a bounded
+    # materialize, not a corpus one.
+    hashes = image_dhash(media_dir, concurrency=concurrency).materialize()
     mask16 = np.int64((1 << NEAR_BAND_BITS) - 1)
+    n_salts = _auto_salts()
 
     def _keys(h: np.ndarray) -> np.ndarray:
         # arithmetic shift + mask extracts bits [16b, 16b+16) exactly as
@@ -353,55 +362,89 @@ def image_dhash_near(
             sub = (h >> np.int64(16 * ((b + 2) % NEAR_BANDS))) & mask16
             is_hot = np.isin(keys[:, b], hk)
             key2[is_hot, b] = sub[is_hot]
+        band = np.tile(np.arange(NEAR_BANDS, dtype=np.int64), n)
+        key = keys.reshape(-1)
+        k2 = key2.reshape(-1)
+        # salt = deterministic mix of the bucket id; the exchange groups
+        # on the SALT ONLY (a whole (band, key, key2) bucket maps to one
+        # salt), so the shuffle produces ~2 groups per CPU instead of one
+        # Ray group per bucket — per-bucket work happens vectorized
+        # inside the salt group (the _verify_jaccard co-partition trick)
+        salt = (
+            (key.view(np.uint64) * np.uint64(0x9E3779B1))
+            ^ (k2.view(np.uint64) * np.uint64(0x85EBCA77))
+            ^ band.view(np.uint64)
+        ) & np.uint64(n_salts - 1)
         return pa.table(
             {
-                "band": pa.array(
-                    np.tile(np.arange(NEAR_BANDS, dtype=np.int64), n)
-                ),
-                "key": pa.array(keys.reshape(-1)),
-                "key2": pa.array(key2.reshape(-1)),
+                "salt": pa.array(salt.view(np.int64)),
+                "band": pa.array(band),
+                "key": pa.array(key),
+                "key2": pa.array(k2),
                 "media_ref": pa.array(np.repeat(refs, NEAR_BANDS).tolist()),
                 "dhash": pa.array(np.repeat(h, NEAR_BANDS)),
             }
         )
 
-    def bucket_flags(group: pd.DataFrame) -> pd.DataFrame:
-        refs = group["media_ref"].to_numpy(object)
-        h = group["dhash"].to_numpy(np.int64)
-        order = np.argsort(refs, kind="stable")
-        refs, h = refs[order], h[order]
-        n = len(refs)
-        flags = np.zeros(n, dtype=np.int64)
-        if n > bucket_cap:  # guard 2: degenerate pileup, skip-and-count
-            logging.getLogger(__name__).info(
-                "image_dhash_near: dropping degenerate bucket of %d images",
-                n,
-            )
-        elif n > 1:
-            from .dedup import _popcount32
+    def salt_flags(group: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one salt: sort by (bucket, media_ref), find
+        segment boundaries, run the chunked XOR-popcount kernel per
+        multi-member segment (singletons — the vast majority — cost one
+        slice check)."""
+        from .dedup import _popcount32
 
+        g = group.sort_values(
+            ["band", "key", "key2", "media_ref"], kind="stable"
+        )
+        band = g["band"].to_numpy(np.int64)
+        key = g["key"].to_numpy(np.int64)
+        key2 = g["key2"].to_numpy(np.int64)
+        refs = g["media_ref"].to_numpy(object)
+        h = g["dhash"].to_numpy(np.int64)
+        n = len(g)
+        flags = np.zeros(n, dtype=np.int64)
+        if n:
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (
+                (band[1:] != band[:-1])
+                | (key[1:] != key[:-1])
+                | (key2[1:] != key2[:-1])
+            )
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
             hu = h.view(np.uint64)
-            chunk = 1024
-            for lo in range(1, n, chunk):
-                hi = min(lo + chunk, n)
-                # rows lo..hi vs ALL columns; a row only looks at
-                # strictly-smaller refs (columns j < row index)
-                x = hu[lo:hi, None] ^ hu[None, :]
-                ham = _popcount32(
-                    (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-                ) + _popcount32((x >> np.uint64(32)).astype(np.uint32))
-                near = (ham >= 1) & (ham <= max_hamming) & (
-                    np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
-                )
-                flags[lo:hi] = near.any(axis=1)
+            for s, e in zip(starts, ends):
+                m = e - s
+                if m <= 1:
+                    continue
+                if m > bucket_cap:  # guard 2: degenerate pileup
+                    logging.getLogger(__name__).info(
+                        "image_dhash_near: dropping degenerate bucket "
+                        "of %d images",
+                        m,
+                    )
+                    continue
+                for lo in range(1, m, 1024):
+                    hi = min(lo + 1024, m)
+                    # rows lo..hi vs ALL bucket columns; a row only
+                    # looks at strictly-smaller refs (columns j < row)
+                    x = hu[s + lo : s + hi, None] ^ hu[None, s:e]
+                    ham = _popcount32(
+                        (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                    ) + _popcount32((x >> np.uint64(32)).astype(np.uint32))
+                    near = (ham >= 1) & (ham <= max_hamming) & (
+                        np.arange(m)[None, :] < np.arange(lo, hi)[:, None]
+                    )
+                    flags[s + lo : s + hi] = near.any(axis=1)
         return pd.DataFrame(
             {"media_ref": refs, "dhash": h, "near_dup": flags}
         )
 
     flags = (
         hashes.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key", "key2"])
-        .map_groups(bucket_flags, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(salt_flags, batch_format="pandas")
     )
     # union across bands: flagged anywhere -> flagged (dhash is constant
     # per ref, Min keeps it verbatim)
