@@ -325,6 +325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup semantic near-dup (r5): broadcast k-means assignment
         # + one cid-keyed groupby for in-cluster cosine flags
         "semdedup": curation.semdedup,
+        # passage-level exact dedup (r5, Lee et al. ExactSubstr approx):
+        # fixed 10-token windows, dup occurrences removed corpus-wide;
+        # two salted exchanges, no driver hash-set materialization
+        "passage_dedup": curation.passage_dedup,
         # image perceptual-hash dedup (r5): actor-pool PNG decode + dHash
         # over the sharded media table, one 8-byte-key groupby; oracle =
         # independent integral-image hasher (fixture parquet)
@@ -506,6 +510,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pack_sequences": curation.pack_sequences_sql(),
         "lang_rebalance": curation.lang_rebalance_sql(),
         "semdedup": curation.semdedup_sql(sf_dir),
+        "passage_dedup": curation.passage_dedup_sql(),
         "image_dhash_dups": imagededup.image_dhash_dups_sql(
             os.path.join(corpus, "media")
         ),

@@ -273,6 +273,7 @@ def run_bench() -> dict:
     timed("pack_sequences", lambda: curation.pack_sequences(SF_DIR).count())
     timed("lang_rebalance", lambda: curation.lang_rebalance(SF_DIR).count())
     timed("semdedup", lambda: curation.semdedup(SF_DIR).count())
+    timed("passage_dedup", lambda: curation.passage_dedup(SF_DIR).count())
     # image perceptual-hash dedup over the interleaved corpus media table
     from pytorchocr_ray.ops import imagededup as _imgdd
 

@@ -597,6 +597,189 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------- passage-level exact dedup
+
+PASSAGE_LEN = 10
+
+
+def passage_dedup(sf_dir: str, p: int = PASSAGE_LEN):
+    """Corpus-level duplicated-passage removal — the ExactSubstr dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") approximated with fixed NON-overlapping ``p``-token windows
+    instead of a suffix array: a passage (window) is duplicated when its
+    hash occurs >= 2 times anywhere in the corpus (same doc included),
+    and every occurrence is removed from the rebuilt text.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, clean_text) for every
+    document; ``clean_text`` is the kept tokens joined by single spaces
+    (both sides rebuild from tokens, so whitespace is canonical).
+
+    Scale shape: TWO salted exchanges, both bounded —
+      1. chunk instances (chash, doc_id, idx) are ~24-byte rows grouped
+         by a salt of the hash (whole hash class -> one salt group);
+         duplicate instances are found by one argsort + run-length pass
+         per group, never a per-hash Ray group;
+      2. the flagged (doc_id, idx) rows union with the document text
+         rows on a salt of doc_id for the rebuild — the only exchange
+         that carries text, and the output itself is that text.
+    No driver-side materialization of the duplicated-hash set (corpus-
+    scale at 100 TB); the driver never sees anything but the plan.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from .dedup import _auto_salts
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_salts = _auto_salts()
+    mask = np.int64(n_salts - 1)
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        h, lens = _doc_token_hashes(texts)
+        ccnt = -(-lens // p)  # ceil; 0 chunks for empty docs
+        total = int(ccnt.sum())
+        if total == 0:
+            return pa.table(
+                {"salt": pa.array([], pa.int64()),
+                 "chash": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "idx": pa.array([], pa.int64())}
+            )
+        clen = np.full(total, p, dtype=np.int64)
+        ends = np.cumsum(ccnt)
+        nz = ccnt > 0
+        clen[ends[nz] - 1] = lens[nz] - (ccnt[nz] - 1) * p  # last partial
+        from .hashing import poly_hash_segments
+
+        chash = poly_hash_segments(h, clen).view(np.int64)
+        starts = ends - ccnt
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, ccnt)
+        return pa.table(
+            {
+                "salt": pa.array(chash & mask),
+                "chash": pa.array(chash),
+                "doc_id": pa.array(np.repeat(ids, ccnt)),
+                "idx": pa.array(idx),
+            }
+        )
+
+    def flag_dups(group: pd.DataFrame) -> pd.DataFrame:
+        ch = group["chash"].to_numpy(np.int64)
+        order = np.argsort(ch, kind="stable")
+        cs = ch[order]
+        n = len(cs)
+        new_run = np.empty(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            new_run[1:] = cs[1:] != cs[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        dup = run_len[run_id] >= 2
+        sel = order[dup]
+        ids = group["doc_id"].to_numpy(np.int64)[sel]
+        # ARROW output (both union branches must produce the same block
+        # type, or the downstream sort's boundary sampler asserts)
+        return pa.table(
+            {
+                "salt2": pa.array((ids * REBAL_A + REBAL_C) % REBAL_M & mask),
+                "doc_id": pa.array(ids),
+                "idx": pa.array(group["idx"].to_numpy(np.int64)[sel]),
+                "text": pa.array([""] * len(sel), pa.string()),
+            }
+        )
+
+    flagged = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(flag_dups, batch_format="pandas")
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "salt2": pa.array((ids * REBAL_A + REBAL_C) % REBAL_M & mask),
+                "doc_id": pa.array(ids),
+                "idx": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "text": batch["text"],
+            }
+        )
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        docs = group[group["idx"] < 0]
+        flags = group[group["idx"] >= 0]
+        bad: dict[int, np.ndarray] = {
+            int(d): g["idx"].to_numpy(np.int64)
+            for d, g in flags.groupby("doc_id")
+        }
+        out_id, out_nc, out_nd, out_txt = [], [], [], []
+        for doc_id, text in zip(
+            docs["doc_id"].to_numpy(np.int64), docs["text"].tolist()
+        ):
+            toks = text.split()
+            nch = -(-len(toks) // p)
+            b = bad.get(int(doc_id))
+            if b is None or len(b) == 0:
+                clean, nd = " ".join(toks), 0
+            else:
+                keep = ~np.isin(np.arange(len(toks), dtype=np.int64) // p, b)
+                clean = " ".join(t for t, k in zip(toks, keep) if k)
+                nd = len(b)
+            out_id.append(int(doc_id))
+            out_nc.append(nch)
+            out_nd.append(nd)
+            out_txt.append(clean)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_chunks": pa.array(out_nc, pa.int64()),
+                "n_dup_chunks": pa.array(out_nd, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(doc_rows, batch_format="pyarrow")
+        .union(flagged)
+        .groupby("salt2")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
+def passage_dedup_sql(p: int = PASSAGE_LEN) -> str:
+    ch = sql_char_hash("t")
+    return f"""
+WITH hl AS (
+  SELECT doc_id, ts, list_transform(ts, t -> {ch}) AS hl
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_SPLIT_RE}') AS ts
+        FROM documents)),
+cix AS (SELECT doc_id, ts, hl,
+               unnest(range((len(hl) + {p - 1}) // {p})) AS idx
+        FROM hl WHERE len(hl) > 0),
+c2 AS (SELECT doc_id, idx,
+              list_reduce(hl[idx * {p} + 1 : least((idx + 1) * {p}, len(hl))],
+                          (a, c) -> (a * {B_TOK} + c) % {M31}) AS chash,
+              array_to_string(
+                ts[idx * {p} + 1 : least((idx + 1) * {p}, len(ts))], ' ')
+                AS ctext
+       FROM cix),
+cnt AS (SELECT chash, count(*) AS c FROM c2 GROUP BY 1),
+agg AS (SELECT c2.doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup,
+               string_agg(ctext, ' ' ORDER BY idx) FILTER (WHERE c < 2)
+                 AS clean
+        FROM c2 JOIN cnt USING (chash) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+       COALESCE(clean, '') AS clean_text
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def pack_sequences_sql(seq_len: int = PACK_SEQ_LEN) -> str:
     return f"""
 WITH t AS (

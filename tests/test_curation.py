@@ -232,3 +232,61 @@ def test_semdedup_parity_on_testdata(ray_session, duck_sf):
     # threshold chosen so the op is exercised on the shipped corpus
     assert e["is_dup"].sum() > 0
     assert len(e) == 500  # every vector classified exactly once
+
+
+# --------------------------------------------- passage-level exact dedup
+
+
+def test_passage_dedup_parity(ray_session, cur_dir, con):
+    """Planted corpus: doc 7 is "spam ham" x12 -> its two full 10-token
+    chunks are identical (both removed), the 4-token tail chunk is
+    unique (kept)."""
+    from pytorchocr_ray.ops.curation import passage_dedup, passage_dedup_sql
+
+    e = (
+        passage_dedup(cur_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        con.sql(passage_dedup_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    r = e.set_index("doc_id")
+    assert r.loc[7, "n_chunks"] == 3
+    assert r.loc[7, "n_dup_chunks"] == 2
+    assert r.loc[7, "clean_text"] == "spam ham spam ham"
+    # edges: empty doc -> zero chunks, empty text; single-token doc
+    assert r.loc[21, ["n_chunks", "n_dup_chunks"]].tolist() == [0, 0]
+    assert r.loc[21, "clean_text"] == ""
+    assert r.loc[22, "n_chunks"] == 1
+    assert r.loc[22, "clean_text"] in ("solo", "")
+
+
+def test_passage_dedup_on_testdata(ray_session, duck_sf):
+    """Hash-level parity on the real corpus (the driver-gate mirror) —
+    the corpus has naturally repeated windows, so removal is exercised."""
+    from pytorchocr_ray.ops.curation import passage_dedup, passage_dedup_sql
+
+    e = (
+        passage_dedup(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        duck_sf.sql(passage_dedup_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    assert len(e) == 500
+    assert (e["n_dup_chunks"] > 0).sum() > 0  # removal actually fires
