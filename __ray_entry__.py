@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         imagededup,
+        pii,
         relational,
         sampling,
         simsearch,
@@ -329,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed 10-token windows, dup occurrences removed corpus-wide;
         # two salted exchanges, no driver hash-set materialization
         "passage_dedup": curation.passage_dedup,
+        # PII redaction (r5): email/phone/IP scrub over the planted-PII
+        # table — one vectorized RE2 pass, counts + redacted text
+        "pii_redact": pii.pii_redact,
         # image perceptual-hash dedup (r5): actor-pool PNG decode + dHash
         # over the sharded media table, one 8-byte-key groupby; oracle =
         # independent integral-image hasher (fixture parquet)
@@ -420,6 +424,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         curation,
         dedup,
         imagededup,
+        pii,
         relational,
         sampling,
         simsearch,
@@ -511,6 +516,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lang_rebalance": curation.lang_rebalance_sql(),
         "semdedup": curation.semdedup_sql(sf_dir),
         "passage_dedup": curation.passage_dedup_sql(),
+        "pii_redact": pii.pii_redact_sql(sf_dir),
         "image_dhash_dups": imagededup.image_dhash_dups_sql(
             os.path.join(corpus, "media")
         ),

@@ -274,6 +274,11 @@ def run_bench() -> dict:
     timed("lang_rebalance", lambda: curation.lang_rebalance(SF_DIR).count())
     timed("semdedup", lambda: curation.semdedup(SF_DIR).count())
     timed("passage_dedup", lambda: curation.passage_dedup(SF_DIR).count())
+
+    from pytorchocr_ray.ops import pii as _pii
+
+    _pii.synth_pii_parquet(SF_DIR)  # untimed: fixture build on first call
+    timed("pii_redact", lambda: _pii.pii_redact(SF_DIR).count())
     # image perceptual-hash dedup over the interleaved corpus media table
     from pytorchocr_ray.ops import imagededup as _imgdd
 

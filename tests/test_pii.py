@@ -1,0 +1,135 @@
+"""PII redaction: engine-vs-DuckDB parity on the planted fixture plus
+kernel-level edge coverage (multiple kinds per doc, adjacency, counts
+measured on the original text)."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from pytorchocr_ray.ops.pii import (
+    _PATTERNS,
+    pii_redact,
+    pii_redact_sql,
+    synth_pii_parquet,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_parity(ray_session):
+    e = (
+        pii_redact(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        duckdb.sql(pii_redact_sql(SF_DIR))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    # the fixture actually plants all three kinds
+    assert e["n_emails"].sum() > 0
+    assert e["n_phones"].sum() > 0
+    assert e["n_ips"].sum() > 0
+    # no PII-shaped string survives in the redacted text (both engines)
+    import pyarrow.compute as pc
+
+    red = pa.array(e["redacted"].tolist(), pa.string())
+    for _, pat, _r in _PATTERNS:
+        assert pc.sum(pc.count_substring_regex(red, pat)).as_py() in (0, None)
+
+
+def test_pii_kernel_edges(ray_session, tmp_path):
+    """Hand-built rows through BOTH engines: two emails, adjacent phone
+    and ip, PII at string start/end, a clean row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, "a@b.co and c.d-e@f.org share"),
+        (1, "+1-555-0100 10.0.0.1"),
+        (2, "1.2.3.4 starts and ends +1-999-9999"),
+        (3, "no pii here at all"),
+        (4, ""),
+    ]
+    d = str(tmp_path / "pii_edge")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    # point the fixture cache at the hand-built table by synthesizing
+    # from it directly: bypass synth (plant already done) and run the
+    # kernel + SQL over the same parquet
+    import ray.data as rd
+
+    from pytorchocr_ray.ops import pii as m
+
+    path = os.path.join(d, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch["doc_id"]}
+        red = batch["text"]
+        for name, pat, repl in m._PATTERNS:
+            cols[name] = pc.cast(
+                pc.count_substring_regex(batch["text"], pat), pa.int64()
+            )
+            red = pc.replace_substring_regex(red, pat, repl)
+        cols["redacted"] = red
+        return pa.table(cols)
+
+    e = (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    red_expr = "text"
+    for _, pat, repl in m._PATTERNS:
+        red_expr = f"regexp_replace({red_expr}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat, _ in m._PATTERNS
+    )
+    o = (
+        duckdb.sql(
+            f"SELECT doc_id, {counts}, {red_expr} AS redacted "
+            f"FROM read_parquet('{path}')"
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    r = e.set_index("doc_id")
+    assert r.loc[0, "n_emails"] == 2
+    assert r.loc[0, "redacted"] == "[EMAIL] and [EMAIL] share"
+    assert r.loc[1, ["n_phones", "n_ips"]].tolist() == [1, 1]
+    assert r.loc[1, "redacted"] == "[PHONE] [IP]"
+    assert r.loc[2, "redacted"] == "[IP] starts and ends [PHONE]"
+    assert r.loc[3, "redacted"] == "no pii here at all"
+    assert r.loc[4, "redacted"] == ""
+
+
+def test_pii_fixture_deterministic():
+    """Fixture cache: same inputs -> same path, file exists."""
+    import os
+
+    p1 = synth_pii_parquet(SF_DIR)
+    p2 = synth_pii_parquet(SF_DIR)
+    assert p1 == p2 and os.path.isfile(p1)
