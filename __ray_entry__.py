@@ -333,6 +333,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII redaction (r5): email/phone/IP scrub over the planted-PII
         # table — one vectorized RE2 pass, counts + redacted text
         "pii_redact": pii.pii_redact,
+        # per-source token-budget cap (r5): C4/RefinedWeb-style domain
+        # limiting — one skinny source-salted exchange, running sums
+        # vectorized per sorted segment
+        "source_budget_cap": curation.source_budget_cap,
+        # deterministic weighted interleave schedule (r5): sqrt-
+        # temperature source weights, stride-scheduling priorities —
+        # the reproducible datasets.interleave_datasets mixing step
+        "interleave_mix": curation.interleave_mix,
         # image perceptual-hash dedup (r5): actor-pool PNG decode + dHash
         # over the sharded media table, one 8-byte-key groupby; oracle =
         # independent integral-image hasher (fixture parquet)
@@ -517,6 +525,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "semdedup": curation.semdedup_sql(sf_dir),
         "passage_dedup": curation.passage_dedup_sql(),
         "pii_redact": pii.pii_redact_sql(sf_dir),
+        "source_budget_cap": curation.source_budget_cap_sql(),
+        "interleave_mix": curation.interleave_mix_sql(),
         "image_dhash_dups": imagededup.image_dhash_dups_sql(
             os.path.join(corpus, "media")
         ),

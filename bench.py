@@ -279,6 +279,11 @@ def run_bench() -> dict:
 
     _pii.synth_pii_parquet(SF_DIR)  # untimed: fixture build on first call
     timed("pii_redact", lambda: _pii.pii_redact(SF_DIR).count())
+    timed(
+        "source_budget_cap",
+        lambda: curation.source_budget_cap(SF_DIR).count(),
+    )
+    timed("interleave_mix", lambda: curation.interleave_mix(SF_DIR).count())
     # image perceptual-hash dedup over the interleaved corpus media table
     from pytorchocr_ray.ops import imagededup as _imgdd
 

@@ -597,6 +597,183 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------------- per-source budget + interleave
+#
+# Both ops need every document of one source co-located with its whole
+# source (a running ordering within the source): the exchange groups on
+# a SALT OF THE SOURCE NAME (char-hash & mask) so each Ray group holds a
+# handful of complete sources and the per-source work runs vectorized on
+# sorted segments — one skinny shuffle of ~40-byte rows, never a group
+# per source (web corpora have 10^7 domains) and never text.  Ordering
+# within a source is the deterministic LCG scramble of doc_id (ties
+# broken by doc_id), reproducible across runs and cluster sizes.
+
+# default sized to BITE on the synthetic corpus (per-source totals run
+# ~1.1-1.7k tokens at every sf): roughly the top-half of each source
+# fits, so the cap branch is exercised corpus-wide, not just in tests
+BUDGET_TOKENS = 800
+MIX_SCALE = 1 << 20
+
+
+def _source_rows(ds, mask: np.int64):
+    """(salt, source, doc_id, h, n_tokens) skinny rows for the
+    per-source ops; salt = char-hash(source) & mask."""
+    from .hashing import poly_hash_strings
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        srcs = batch["source"].to_pylist()
+        nt = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_SPLIT_RE), pa.int64()
+        ).to_numpy()
+        salt = poly_hash_strings(srcs).view(np.int64) & mask
+        h = (ids * REBAL_A + REBAL_C) % REBAL_M
+        return pa.table(
+            {
+                "salt": pa.array(salt),
+                "source": pa.array(srcs, pa.string()),
+                "doc_id": pa.array(ids),
+                "h": pa.array(h),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _source_segments(group) -> tuple:
+    """Sort a salt group by (source, h, doc_id) and return the sorted
+    columns plus segment (start, end) bounds per source."""
+    g = group.sort_values(["source", "h", "doc_id"], kind="stable")
+    src = g["source"].to_numpy(object)
+    n = len(g)
+    change = np.empty(n, dtype=bool)
+    if n:
+        change[0] = True
+        change[1:] = src[1:] != src[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return g, src, starts, ends
+
+
+def source_budget_cap(sf_dir: str, budget_tokens: int = BUDGET_TOKENS):
+    """Per-source token-budget cap: documents of each source are taken
+    in LCG-scrambled order until the source's cumulative token count
+    would exceed ``budget_tokens`` (the per-domain cap of web-corpus
+    curation — C4 / RefinedWeb style domain limiting, token-budget
+    form).  Returns (doc_id, source, n_tokens, kept); a doc is kept iff
+    the running total INCLUDING it stays within budget (later docs can
+    still fit — the rule is the windowed cumulative, not first-overflow
+    stop, exactly the SQL running-sum semantics)."""
+    import pandas as pd
+
+    from .dedup import _auto_salts
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    mask = np.int64(_auto_salts() - 1)
+
+    def cap(group: pd.DataFrame) -> pa.Table:
+        g, src, starts, ends = _source_segments(group)
+        nt = g["n_tokens"].to_numpy(np.int64)
+        cum = np.cumsum(nt)
+        seg_base = np.repeat(cum[starts] - nt[starts], ends - starts)
+        kept = ((cum - seg_base) <= budget_tokens).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "source": pa.array(src.tolist(), pa.string()),
+                "n_tokens": pa.array(nt),
+                "kept": pa.array(kept),
+            }
+        )
+
+    return (
+        _source_rows(ds, mask)
+        .groupby("salt")
+        .map_groups(cap, batch_format="pandas")
+    )
+
+
+def source_budget_cap_sql(budget_tokens: int = BUDGET_TOKENS) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{TOKEN_SPLIT_RE}')) AS n_tokens,
+         (CAST(doc_id AS BIGINT) * {REBAL_A} + {REBAL_C}) % {REBAL_M} AS h
+  FROM documents)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) OVER (
+              PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            <= {budget_tokens} AS BIGINT) AS kept
+FROM t
+"""
+
+
+def interleave_mix(sf_dir: str):
+    """Deterministic weighted interleave schedule across sources — the
+    mixing step that turns N curated sources into ONE training stream
+    (datasets.interleave_datasets / Gopher data-mixing, made
+    reproducible): source weight w_s = max(1, floor(sqrt(n_s)))
+    (square-root temperature, the lang_rebalance convention), document
+    rank r = its position in the source's LCG-scrambled order, and
+    mixing priority = (r+1) * 2^20 // w_s — stride scheduling (weighted
+    fair queuing): consuming rows by ascending priority yields each
+    source at a rate proportional to its weight.  Returns (doc_id,
+    source, src_rank, priority); the schedule is fully determined by
+    the priority column, so no global dense rank (an extra all-to-all
+    sort) is materialized."""
+    import pandas as pd
+
+    from .dedup import _auto_salts
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    mask = np.int64(_auto_salts() - 1)
+
+    def mix(group: pd.DataFrame) -> pa.Table:
+        g, src, starts, ends = _source_segments(group)
+        n = len(g)
+        seg_len = ends - starts
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+        # IEEE sqrt + floor, bit-identical to the SQL twin
+        w = np.maximum(
+            1, np.floor(np.sqrt(seg_len.astype(np.float64))).astype(np.int64)
+        )
+        prio = (rank + 1) * MIX_SCALE // np.repeat(w, seg_len)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "source": pa.array(src.tolist(), pa.string()),
+                "src_rank": pa.array(rank),
+                "priority": pa.array(prio),
+            }
+        )
+
+    return (
+        _source_rows(ds, mask)
+        .groupby("salt")
+        .map_groups(mix, batch_format="pandas")
+    )
+
+
+def interleave_mix_sql() -> str:
+    return f"""
+WITH c AS (SELECT source,
+                  greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                                   AS BIGINT)) AS w
+           FROM documents GROUP BY 1),
+r AS (SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (CAST(doc_id AS BIGINT) * {REBAL_A} + {REBAL_C})
+                        % {REBAL_M}, doc_id) - 1 AS src_rank
+      FROM documents)
+SELECT r.doc_id, r.source, CAST(src_rank AS BIGINT) AS src_rank,
+       CAST((src_rank + 1) * {MIX_SCALE} // w AS BIGINT) AS priority
+FROM r JOIN c USING (source)
+"""
+
+
 # ------------------------------------------- passage-level exact dedup
 
 PASSAGE_LEN = 10

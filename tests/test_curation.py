@@ -290,3 +290,77 @@ def test_passage_dedup_on_testdata(ray_session, duck_sf):
         assert e[c].tolist() == o[c].tolist(), c
     assert len(e) == 500
     assert (e["n_dup_chunks"] > 0).sum() > 0  # removal actually fires
+
+
+# ------------------------------- per-source budget cap + interleave mix
+
+
+def test_source_budget_cap_parity(ray_session, duck_sf):
+    from pytorchocr_ray.ops.curation import (
+        source_budget_cap,
+        source_budget_cap_sql,
+    )
+
+    e = (
+        source_budget_cap(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        duck_sf.sql(source_budget_cap_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    assert len(e) == 500
+    # the default budget bites on every source (per-source totals are
+    # ~1.1-1.7k tokens) but never empties one
+    g = e.groupby("source")["kept"]
+    assert (g.sum() < g.count()).all()
+    assert (g.sum() >= 1).all()
+    # kept docs of each source respect the running-sum budget
+    from pytorchocr_ray.ops.curation import BUDGET_TOKENS, REBAL_A, REBAL_C, REBAL_M
+
+    e["h"] = (e["doc_id"] * REBAL_A + REBAL_C) % REBAL_M
+    for _, grp in e.groupby("source"):
+        grp = grp.sort_values(["h", "doc_id"])
+        run = grp["n_tokens"].cumsum()
+        assert ((run <= BUDGET_TOKENS) == (grp["kept"] == 1)).all()
+
+
+def test_interleave_mix_parity_and_schedule(ray_session, duck_sf):
+    from pytorchocr_ray.ops.curation import interleave_mix, interleave_mix_sql
+
+    e = (
+        interleave_mix(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        duck_sf.sql(interleave_mix_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    assert len(e) == 500
+    # ranks are a dense 0..n_s-1 permutation per source
+    for _, grp in e.groupby("source"):
+        assert sorted(grp["src_rank"].tolist()) == list(range(len(grp)))
+    # stride scheduling: consuming by ascending priority interleaves
+    # sources at weight-proportional rates — in any priority prefix the
+    # per-source take differs from its fair share by at most 1 stride
+    s = e.sort_values(["priority", "source", "src_rank"]).reset_index(drop=True)
+    import numpy as np
+
+    w = {src: max(1, int(np.floor(np.sqrt(len(g))))) for src, g in e.groupby("source")}
+    total_w = sum(w.values())
+    prefix = s.head(100)
+    for src, cnt in prefix.groupby("source").size().items():
+        fair = 100 * w[src] / total_w
+        assert abs(cnt - fair) <= 2, (src, cnt, fair)
