@@ -15,8 +15,11 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   repetition_stats / decontaminate / pack_sequences / lang_rebalance /
   semdedup (corpus curation), bpe_token_count, image_dhash_dups /
   image_dhash_near (perceptual-hash image dedup + Hamming-banded
-  near-dup, independent-oracle fixture), and audio_features_mulaw
-  (native G.711 mu-law, the second compressed codec) -> 54/54).
+  near-dup, independent-oracle fixture), audio_features_mulaw
+  (native G.711 mu-law, the second compressed codec), passage_dedup
+  (ExactSubstr-style duplicated-passage removal), pii_redact
+  (email/phone/IP scrub), source_budget_cap (per-source token cap),
+  and interleave_mix (weighted mixing schedule) -> 58/58).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
