@@ -19,7 +19,8 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   (native G.711 mu-law, the second compressed codec), passage_dedup
   (ExactSubstr-style duplicated-passage removal), pii_redact
   (email/phone/IP scrub), source_budget_cap (per-source token cap),
-  and interleave_mix (weighted mixing schedule) -> 58/58).
+  interleave_mix (weighted mixing schedule), and vocab_encode
+  (top-K vocabulary + token-id encoding) -> 59/59).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -344,6 +345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature source weights, stride-scheduling priorities —
         # the reproducible datasets.interleave_datasets mixing step
         "interleave_mix": curation.interleave_mix,
+        # vocabulary build + token-id encoding (r5): top-K corpus vocab
+        # (K-bounded driver materialize), unk id, per-doc id-sequence
+        # fingerprint — the word-level tokenizer-training stage
+        "vocab_encode": textstats.vocab_encode,
         # image perceptual-hash dedup (r5): actor-pool PNG decode + dHash
         # over the sharded media table, one 8-byte-key groupby; oracle =
         # independent integral-image hasher (fixture parquet)
@@ -530,6 +535,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pii_redact": pii.pii_redact_sql(sf_dir),
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),
+        "vocab_encode": textstats.vocab_encode_sql(),
         "image_dhash_dups": imagededup.image_dhash_dups_sql(
             os.path.join(corpus, "media")
         ),

@@ -284,6 +284,7 @@ def run_bench() -> dict:
         lambda: curation.source_budget_cap(SF_DIR).count(),
     )
     timed("interleave_mix", lambda: curation.interleave_mix(SF_DIR).count())
+    timed("vocab_encode", lambda: textstats.vocab_encode(SF_DIR).count())
     # image perceptual-hash dedup over the interleaved corpus media table
     from pytorchocr_ray.ops import imagededup as _imgdd
 

@@ -642,3 +642,107 @@ FROM (
   FROM tf JOIN df USING (token) CROSS JOIN n)
 WHERE rank <= {k}
 """
+
+
+# ------------------------------------------ vocabulary build + encoding
+
+VOCAB_K = 24  # < the corpus' ~31 distinct tokens, so the OOV path is
+# exercised corpus-wide (a production K of 10^5 would make every token
+# in-vocab here and leave the unk branch untested)
+
+
+def vocab_encode(sf_dir: str, k: int = VOCAB_K):
+    """Frequency-ranked vocabulary build + token-id encoding — the
+    word-level tokenizer-training stage of an LM data pipeline: the
+    top-``k`` corpus tokens by frequency (ties broken lexicographically)
+    become ids 0..k-1, everything else the unk id ``k``; each document
+    is encoded and summarized as (doc_id, n_tokens, n_oov, ids_fp) where
+    ``ids_fp`` is the 31-bit polynomial fingerprint of the (id+1)
+    sequence — the sequence itself, value-verified without shipping a
+    list column through the driver's hash compare.
+
+    Scale shape: pass 1 pre-aggregates token counts per block, one
+    vocabulary-bounded groupby sums them, and a sort+limit keeps only K
+    rows — the driver materializes exactly K (token, id) pairs, never
+    the vocabulary (contrast the r4 tfidf df-map this engine already
+    replaced); the broadcast dict is O(K).  Pass 2 is one shuffle-free
+    vectorized encode (pandas C-level dict gather + segment Horner).
+    """
+    import ray
+
+    from .hashing import B_TOK, M31, poly_hash_segments, tokenize_batch
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokenize_batch(batch["text"].to_pylist())
+        t, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        return pa.table(
+            {"t": pa.array(t.tolist(), pa.string()), "c": pa.array(c)}
+        )
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("t")
+        .sum("c")
+        .sort(["sum(c)", "t"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # bounded: exactly K rows
+    )
+    ids = {tok: i for i, tok in enumerate(vocab["t"].tolist())}
+    ids_ref = ray.put(ids)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ref = ray.get(ids_ref)
+        texts = batch["text"].to_pylist()
+        flat, lens = tokenize_batch(texts)
+        tid = (
+            pd.Series(flat, dtype=object).map(ref).fillna(k).to_numpy(np.int64)
+        )
+        n_oov = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(
+            n_oov,
+            np.repeat(np.arange(len(texts), dtype=np.int64), lens),
+            tid == k,
+        )
+        fp = poly_hash_segments((tid + 1).astype(np.uint64), lens, B_TOK)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens),
+                "n_oov": pa.array(n_oov),
+                "ids_fp": pa.array(fp.view(np.int64)),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def vocab_encode_sql(k: int = VOCAB_K) -> str:
+    from .hashing import B_TOK, M31, TOKEN_SPLIT_RE
+
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_SPLIT_RE}') AS ts
+  FROM documents),
+cnt AS (SELECT t, count(*) AS c
+        FROM (SELECT unnest(ts) AS t FROM tokd) GROUP BY 1),
+vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) - 1 AS id
+          FROM cnt ORDER BY c DESC, t LIMIT {k}),
+e AS (SELECT doc_id, unnest(ts) AS t, unnest(range(len(ts))) AS i
+      FROM tokd),
+enc AS (SELECT e.doc_id, e.i, COALESCE(v.id, {k}) AS id
+        FROM e LEFT JOIN vocab v USING (t)),
+fp AS (SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN id = {k} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_oov,
+              list_reduce(list(id + 1 ORDER BY i),
+                          (a, c) -> (a * {B_TOK} + c) % {M31}) AS ids_fp
+       FROM enc GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(n_oov, 0) AS n_oov,
+       CAST(COALESCE(ids_fp, 0) AS BIGINT) AS ids_fp
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""

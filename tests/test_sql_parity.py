@@ -590,3 +590,88 @@ def test_bpe_token_count_parity(ray_session, tmp_path):
         assert e[col].astype(np.int64).tolist() == o[col].astype(np.int64).tolist(), col
     assert e.loc[1, "n_bpe"] == 0 and e.loc[1, "chars_per_bpe_milli"] == 0
     assert (e.loc[e["n_bpe"] > 0, "chars_per_bpe_milli"] > 0).all()
+
+
+def test_vocab_encode_parity(ray_session, tmp_path):
+    """Vocabulary build + encoding: top-k ranking with count/lex
+    tie-breaks, unk id assignment, empty-doc zero row, and the sequence
+    fingerprint agree between the engine and the SQL twin."""
+    from pytorchocr_ray.ops.textstats import vocab_encode, vocab_encode_sql
+
+    texts = [
+        "b b b a a c d",
+        "a zz zz q",
+        "",
+        "c c b a unkish",
+        "tie1 tie2",  # equal counts -> lexicographic id order
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    k = 4
+    e = (
+        vocab_encode(d, k=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        con.sql(vocab_encode_sql(k=k))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    r = e.set_index("doc_id")
+    # vocab at k=4: b(5) a(4) c(3) zz(2) -> everything else unk
+    assert r.loc[2, ["n_tokens", "n_oov", "ids_fp"]].tolist() == [0, 0, 0]
+    assert r.loc[0, "n_oov"] == 1  # d
+    assert r.loc[3, "n_oov"] == 1  # unkish
+    assert r.loc[4, "n_oov"] == 2  # both ties fall outside top-4
+    # fingerprint is sequence-sensitive: same multiset, different order
+    from pytorchocr_ray.ops.hashing import B_TOK, M31, poly_hash_segments
+    import numpy as np
+
+    a = poly_hash_segments(np.array([1, 2], np.uint64), np.array([2]), B_TOK)
+    b = poly_hash_segments(np.array([2, 1], np.uint64), np.array([2]), B_TOK)
+    assert a[0] != b[0]
+
+
+def test_vocab_encode_on_testdata(ray_session):
+    """Driver-gate mirror at sf0.001: OOV path exercised corpus-wide."""
+    from pytorchocr_ray.ops.textstats import vocab_encode, vocab_encode_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    e = (
+        vocab_encode(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        con.sql(vocab_encode_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    assert (e["n_oov"] > 0).sum() > 0
