@@ -19,8 +19,9 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   (native G.711 mu-law, the second compressed codec), passage_dedup
   (ExactSubstr-style duplicated-passage removal), pii_redact
   (email/phone/IP scrub), source_budget_cap (per-source token cap),
-  interleave_mix (weighted mixing schedule), and vocab_encode
-  (top-K vocabulary + token-id encoding) -> 59/59).
+  interleave_mix (weighted mixing schedule), vocab_encode (top-K
+  vocabulary + token-id encoding), and random_projection (JL sign
+  projection of embeddings) -> 60/60).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -349,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (K-bounded driver materialize), unk id, per-doc id-sequence
         # fingerprint — the word-level tokenizer-training stage
         "vocab_encode": textstats.vocab_encode,
+        # JL sign projection of the embedding column (r5): matrix-free
+        # (LCG-parity entries regenerated per batch), exact-int outputs
+        "random_projection": simsearch.random_projection,
         # image perceptual-hash dedup (r5): actor-pool PNG decode + dHash
         # over the sharded media table, one 8-byte-key groupby; oracle =
         # independent integral-image hasher (fixture parquet)
@@ -536,6 +540,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),
         "vocab_encode": textstats.vocab_encode_sql(),
+        "random_projection": simsearch.random_projection_sql(),
         "image_dhash_dups": imagededup.image_dhash_dups_sql(
             os.path.join(corpus, "media")
         ),

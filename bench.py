@@ -285,6 +285,10 @@ def run_bench() -> dict:
     )
     timed("interleave_mix", lambda: curation.interleave_mix(SF_DIR).count())
     timed("vocab_encode", lambda: textstats.vocab_encode(SF_DIR).count())
+    timed(
+        "random_projection",
+        lambda: simsearch.random_projection(SF_DIR).count(),
+    )
     # image perceptual-hash dedup over the interleaved corpus media table
     from pytorchocr_ray.ops import imagededup as _imgdd
 

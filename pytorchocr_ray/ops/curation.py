@@ -575,7 +575,8 @@ def semdedup_sql(
     return f"""
 WITH e AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {EMB_SCALE} + 0.5)) AS qd
   FROM embeddings),
 cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
          FROM read_parquet('{cent_path}')),

@@ -1144,7 +1144,8 @@ def embedding_neardup_sql(
     return f"""
 WITH e AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {EMB_SCALE} + 0.5)) AS qd
   FROM embeddings),
 d AS (SELECT vec_id, qd, {plane_dots} FROM e),
 b AS (SELECT vec_id, qd, CAST({bucket} AS BIGINT) AS bucket,

@@ -353,7 +353,8 @@ def topk_ivf_sql(
     return f"""
 WITH e AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {EMB_SCALE} + 0.5)) AS qd
   FROM embeddings),
 cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
          FROM read_parquet('{cent_path}')),
@@ -459,8 +460,8 @@ def topk_sq(sf_dir: str, k: int = 5, nq: int = 8):
 def topk_sq_sql(k: int = 5, nq: int = 8) -> str:
     """DuckDB twin: identical int8 quantization + integer dot ordering."""
     code = (
-        "list_transform(embedding, x -> CAST(floor("
-        f"greatest(-1.0, least(1.0, x)) * {SQ_SCALE} + 0.5) AS BIGINT))"
+        "list_transform(embedding, x -> CAST(floor(greatest(-1.0, "
+        f"least(1.0, CAST(x AS DOUBLE))) * {SQ_SCALE} + 0.5) AS BIGINT))"
     )
     return f"""
 WITH c AS (SELECT vec_id, {code} AS q8 FROM embeddings),
@@ -747,7 +748,8 @@ def topk_pq_sql(
     return f"""
 WITH e AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {EMB_SCALE} + 0.5)) AS qd
   FROM embeddings),
 sub AS (
   SELECT vec_id, s, qd[(s * {d} + 1):(s * {d} + {d})] AS sq
@@ -946,7 +948,8 @@ def topk_ivfpq_sql(
         return f"""
 WITH e AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {EMB_SCALE} + 0.5)) AS qd
   FROM embeddings),
 cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
          FROM read_parquet('{cent_path}')),
@@ -1008,7 +1011,8 @@ QUALIFY rank <= {k}
     return f"""
 WITH e AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x * {EMB_SCALE} + 0.5)) AS qd
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {EMB_SCALE} + 0.5)) AS qd
   FROM embeddings),
 cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
          FROM read_parquet('{cent_path}')),
@@ -1057,4 +1061,75 @@ SELECT query_id, vec_id,
        ) AS BIGINT) AS rank
 FROM dist
 QUALIFY rank <= {k}
+"""
+
+
+# ------------------------------------- random projection (JL transform)
+
+RP_DIMS = 8
+RP_A = 1103515245
+RP_C = 12345
+RP_M = 2147483647
+
+
+def random_projection(sf_dir: str, k: int = RP_DIMS):
+    """Johnson-Lindenstrauss SIGN projection of the embedding column to
+    ``k`` dimensions (Achlioptas 2003 database-friendly form, ±1
+    entries) — the dimensionality-reduction stage a billion-vector
+    pipeline runs before indexing: distances are preserved within
+    (1±eps) while index memory shrinks dim/k-fold.
+
+    The projection matrix is never stored or broadcast: entry (j, i) is
+    the PARITY of an LCG of the flat index j*k+i, regenerated inside
+    every batch (O(dim x k) ints) and reproduced term-by-term in the
+    SQL twin.  Components are the engine's exact-integer quantization
+    (EMB_SCALE), so every projected coordinate is an exact int64 —
+    (vec_id, p0..p{k-1}) hash-verifies directly, no fingerprint needed.
+    One shuffle-free vectorized pass (a single int matmul per batch).
+    """
+    from . import read
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = _quantize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        d = q.shape[1]
+        jk = np.arange(d, dtype=np.int64)[:, None] * k + np.arange(
+            k, dtype=np.int64
+        )[None, :]
+        s = np.where(((jk * RP_A + RP_C) % RP_M) % 2 == 0, 1, -1).astype(
+            np.int64
+        )
+        p = q @ s
+        cols = {"vec_id": batch["vec_id"]}
+        for i in range(k):
+            cols[f"p{i}"] = pa.array(p[:, i])
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def random_projection_sql(k: int = RP_DIMS) -> str:
+    cols = ",\n       ".join(
+        "CAST(list_sum(list_transform(range(len(qd)), "
+        f"j -> qd[j + 1] * (CASE WHEN ((j * {k} + {i}) * {RP_A} + {RP_C}) "
+        f"% {RP_M} % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT) AS p{i}"
+        for i in range(k)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         -- CAST to DOUBLE FIRST: DuckDB multiplies FLOAT * INT at
+         -- float32, the engine at float64 — raw projected sums expose
+         -- every one-ulp floor flip the flag-valued ops never surface
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_SCALE}
+                                        + 0.5) AS BIGINT))
+           AS qd
+  FROM embeddings)
+SELECT vec_id,
+       {cols}
+FROM e
 """

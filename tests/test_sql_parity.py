@@ -675,3 +675,58 @@ def test_vocab_encode_on_testdata(ray_session):
     for c in e.columns:
         assert e[c].tolist() == o[c].tolist(), c
     assert (e["n_oov"] > 0).sum() > 0
+
+
+def test_random_projection_parity_and_jl(ray_session):
+    """JL sign projection: engine int matmul == SQL per-term sums, and
+    the projection roughly preserves relative distances (the JL
+    property, sanity-level tolerance at k=8)."""
+    import numpy as np
+
+    from pytorchocr_ray.ops.simsearch import (
+        random_projection,
+        random_projection_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    e = (
+        random_projection(sf)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    o = (
+        con.sql(random_projection_sql())
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(e.columns) == list(o.columns)
+    for c in e.columns:
+        assert e[c].tolist() == o[c].tolist(), c
+    assert len(e) == 500
+    # JL sanity: projected-space cosine correlates with original cosine
+    import pyarrow.parquet as pq
+
+    emb = np.asarray(
+        pq.read_table(f"{sf}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    p = e[[c for c in e.columns if c.startswith("p")]].to_numpy(np.float64)
+    # JL with +/-1 entries: E[|Px|^2] = k |x|^2, concentrating around it
+    # — an all-equal-sign (or otherwise broken) matrix collapses the
+    # ratio toward 0 for the zero-mean corpus and fails this bound
+    from pytorchocr_ray.ops.simsearch import EMB_SCALE, RP_DIMS
+
+    q = emb * EMB_SCALE  # projection ran on the quantized scale
+    ratio = (p**2).sum(axis=1) / (RP_DIMS * (q**2).sum(axis=1))
+    assert np.median(ratio) > 0.3 and np.median(ratio) < 3.0, np.median(ratio)
+    assert ((ratio > 0.1) & (ratio < 10)).mean() > 0.85
