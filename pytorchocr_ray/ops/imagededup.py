@@ -280,12 +280,12 @@ def image_dhash_near(
     note — flags, not pairs, keep the output linear).  Undecodable /
     sub-grid images (dhash == DHASH_EMPTY) are excluded.  One
     band-exploded groupby whose rows are <= ~40 bytes; payload bytes
-    never shuffle; the per-image final merge is a max() aggregate."""
+    never shuffle; the per-image cross-band union is a second salted
+    co-partition (int key) with a pandas C-level groupby inside."""
     import logging
 
     import pandas as pd
     import ray
-    from ray.data.aggregate import Min
 
     from .dedup import _auto_salts
 
@@ -388,9 +388,14 @@ def image_dhash_near(
 
     def salt_flags(group: pd.DataFrame) -> pd.DataFrame:
         """All buckets of one salt: sort by (bucket, media_ref), find
-        segment boundaries, run the chunked XOR-popcount kernel per
-        multi-member segment (singletons — the vast majority — cost one
-        slice check)."""
+        segment boundaries, then per multi-member segment compute flags
+        over the UNIQUE hash values only — a row is flagged iff some
+        near (hamming 1..max) VALUE has an earlier min-ref, so identical
+        hashes (the dominant mass in a perceptual-hash pileup: at sf0.1
+        ~3 images share each hash) collapse before the quadratic
+        XOR-popcount, turning n^2 per bucket into U^2 (semantics
+        unchanged: hamming 0 is excluded either way).  This kernel cut
+        the sf0.1 reading ~5x."""
         from .dedup import _popcount32
 
         g = group.sort_values(
@@ -413,7 +418,6 @@ def image_dhash_near(
             )
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
-            hu = h.view(np.uint64)
             for s, e in zip(starts, ends):
                 m = e - s
                 if m <= 1:
@@ -425,34 +429,65 @@ def image_dhash_near(
                         m,
                     )
                     continue
-                for lo in range(1, m, 1024):
-                    hi = min(lo + 1024, m)
-                    # rows lo..hi vs ALL bucket columns; a row only
-                    # looks at strictly-smaller refs (columns j < row)
-                    x = hu[s + lo : s + hi, None] ^ hu[None, s:e]
+                hs = h[s:e]
+                # rows are ref-sorted, so np.unique's first-occurrence
+                # index IS the min-ref position of each value
+                uh, first_pos = np.unique(hs, return_index=True)
+                u = len(uh)
+                if u <= 1:
+                    continue  # all identical: hamming 0 only, no flags
+                inv = np.searchsorted(uh, hs)
+                uu = uh.view(np.uint64)
+                near_min = np.full(u, m, dtype=np.int64)
+                for lo in range(0, u, 1024):
+                    hi = min(lo + 1024, u)
+                    x = uu[lo:hi, None] ^ uu[None, :]
                     ham = _popcount32(
                         (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
                     ) + _popcount32((x >> np.uint64(32)).astype(np.uint32))
-                    near = (ham >= 1) & (ham <= max_hamming) & (
-                        np.arange(m)[None, :] < np.arange(lo, hi)[:, None]
+                    fp = np.where(
+                        (ham >= 1) & (ham <= max_hamming),
+                        first_pos[None, :],
+                        m,
                     )
-                    flags[s + lo : s + hi] = near.any(axis=1)
+                    near_min[lo:hi] = fp.min(axis=1)
+                # flagged iff a near value's min-ref row precedes this row
+                flags[s:e] = np.maximum(
+                    flags[s:e],
+                    (np.arange(m, dtype=np.int64) > near_min[inv]).astype(
+                        np.int64
+                    ),
+                )
+        from .hashing import poly_hash_strings
+
+        # route the cross-band union through an INT salt of media_ref:
+        # Ray's sort aggregate on a string key measured 21 s of a 30 s
+        # sf0.1 run; the salted co-partition + pandas C-level groupby
+        # does the same union in ~1 s
+        rsalt = (
+            poly_hash_strings([str(r) for r in refs]).view(np.int64)
+            & np.int64(n_salts - 1)
+        )
         return pd.DataFrame(
-            {"media_ref": refs, "dhash": h, "near_dup": flags}
+            {"rsalt": rsalt, "media_ref": refs, "dhash": h,
+             "near_dup": flags}
         )
 
-    flags = (
+    def union_flags(group: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            group.groupby("media_ref", as_index=False)
+            .agg(dhash=("dhash", "min"), near_dup=("near_dup", "max"))
+        )
+        return g[["media_ref", "dhash", "near_dup"]]
+
+    # union across bands: flagged anywhere -> flagged (dhash is constant
+    # per ref, min keeps it verbatim)
+    return (
         hashes.map_batches(explode, batch_format="pyarrow")
         .groupby("salt")
         .map_groups(salt_flags, batch_format="pandas")
-    )
-    # union across bands: flagged anywhere -> flagged (dhash is constant
-    # per ref, Min keeps it verbatim)
-    from ray.data.aggregate import Max
-
-    return flags.groupby("media_ref").aggregate(
-        Min("dhash", alias_name="dhash"),
-        Max("near_dup", alias_name="near_dup"),
+        .groupby("rsalt")
+        .map_groups(union_flags, batch_format="pandas")
     )
 
 
