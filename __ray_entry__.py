@@ -21,7 +21,10 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   (email/phone/IP scrub), source_budget_cap (per-source token cap),
   interleave_mix (weighted mixing schedule), vocab_encode (top-K
   vocabulary + token-id encoding), and random_projection (JL sign
-  projection of embeddings) -> 60/60).
+  projection of embeddings), cdc_dedup (content-defined chunking
+  dedup — boundaries by rolling hash, shift-robust unlike fixed
+  windows), and epoch_shuffle (deterministic per-epoch global shuffle
+  into training shards) -> 62/62).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -335,6 +338,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed 10-token windows, dup occurrences removed corpus-wide;
         # two salted exchanges, no driver hash-set materialization
         "passage_dedup": curation.passage_dedup,
+        # content-defined chunking dedup (r5): FastCDC-style rolling-
+        # hash boundaries, dup chunks counted corpus-wide; two salted
+        # integer-row exchanges, shift-robust where fixed windows break
+        "cdc_dedup": curation.cdc_dedup,
+        # deterministic per-epoch global shuffle (r5): LCG(doc_id,
+        # epoch) key -> shard + within-shard rank; ONE 24-byte-row
+        # exchange, reproducible across runs and cluster sizes
+        "epoch_shuffle": curation.epoch_shuffle,
         # PII redaction (r5): email/phone/IP scrub over the planted-PII
         # table — one vectorized RE2 pass, counts + redacted text
         "pii_redact": pii.pii_redact,
@@ -536,6 +547,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lang_rebalance": curation.lang_rebalance_sql(),
         "semdedup": curation.semdedup_sql(sf_dir),
         "passage_dedup": curation.passage_dedup_sql(),
+        "cdc_dedup": curation.cdc_dedup_sql(),
+        "epoch_shuffle": curation.epoch_shuffle_sql(),
         "pii_redact": pii.pii_redact_sql(sf_dir),
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),

@@ -274,6 +274,8 @@ def run_bench() -> dict:
     timed("lang_rebalance", lambda: curation.lang_rebalance(SF_DIR).count())
     timed("semdedup", lambda: curation.semdedup(SF_DIR).count())
     timed("passage_dedup", lambda: curation.passage_dedup(SF_DIR).count())
+    timed("cdc_dedup", lambda: curation.cdc_dedup(SF_DIR).count())
+    timed("epoch_shuffle", lambda: curation.epoch_shuffle(SF_DIR).count())
 
     from pytorchocr_ray.ops import pii as _pii
 

@@ -980,3 +980,290 @@ SELECT doc_id,
                  - start_tok // {seq_len} + 1 END AS n_chunks
 FROM c
 """
+
+# ---------------------------------------- content-defined chunking dedup
+
+CDC_W = 4  # rolling-window width (tokens) for the boundary rule
+CDC_KBITS = 3  # boundary when window hash % 2^kbits == 0 (~w-1+8 tok chunks)
+
+
+def cdc_dedup(sf_dir: str, w: int = CDC_W, kbits: int = CDC_KBITS):
+    """Content-defined chunking dedup (the FastCDC / LBFS idea applied to
+    token streams): a chunk boundary falls AFTER token j whenever the
+    rolling hash of the last ``w`` tokens is 0 mod 2^kbits, so chunk
+    boundaries are decided by CONTENT, not position — unlike
+    :func:`passage_dedup`'s fixed windows, inserting one token near the
+    head of a document shifts only the chunk it lands in, and every
+    downstream repeated passage still chunks (and hashes) identically.
+    A chunk is duplicated when its hash occurs >= 2 times corpus-wide.
+
+    Returns (doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens) for
+    every document (zeros for empty docs).
+
+    Scale shape: TWO salted exchanges, both over <= ~32-byte integer
+    rows — (1) chunk instances grouped by a salt of the chunk hash
+    (whole hash class -> one group; dup runs found by one argsort +
+    run-length pass, then reduced to PER-DOC PARTIAL sums inside the
+    group), (2) the per-doc partials co-partitioned on a salt of doc_id
+    and summed.  Text never shuffles; the driver never materializes the
+    chunk-hash set.  The doc-final window is never a boundary, so no
+    empty chunks exist by construction.
+    """
+    import pandas as pd
+
+    from .dedup import _auto_salts
+    from .hashing import poly_hash_segments
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_salts = _auto_salts()
+    mask = np.int64(n_salts - 1)
+    modv = np.uint64(1 << kbits)
+
+    empty = pa.table(
+        {
+            "salt": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "chash": pa.array([], pa.int64()),
+            "clen": pa.array([], pa.int64()),
+        }
+    )
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        n_docs = len(texts)
+        h, lens = _doc_token_hashes(texts)
+        total = len(h)
+        if total == 0:
+            return empty
+        g, gcnt = _windowed_hashes(h, lens, w)
+        gstarts = np.cumsum(gcnt) - gcnt
+        if len(g):
+            glocal = np.arange(len(g), dtype=np.int64) - np.repeat(
+                gstarts, gcnt
+            )
+            # boundary after token j = i + w - 1 for gram i; the doc-final
+            # gram (j = len-1) never bounds — nothing follows it
+            bnd = (g % modv == 0) & (glocal < np.repeat(gcnt, gcnt) - 1)
+            c = np.cumsum(bnd.astype(np.int64))
+            safe = np.minimum(gstarts, len(g) - 1)
+            base = c[safe] - bnd[safe].astype(np.int64)
+            # cb[i] (per doc) = #boundaries at grams <= i
+            cb = c - np.repeat(base, gcnt)
+        else:
+            bnd = np.zeros(0, dtype=bool)
+            cb = np.zeros(0, dtype=np.int64)
+        tstarts = np.cumsum(lens) - lens
+        tlocal = np.arange(total, dtype=np.int64) - np.repeat(tstarts, lens)
+        doc_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        # chunk of token p = #boundaries at j <= p-1, i.e. grams i <= p-w
+        tok_chunk = np.zeros(total, dtype=np.int64)
+        sel = tlocal >= w
+        if sel.any():
+            gs_tok = np.repeat(gstarts, lens)
+            tok_chunk[sel] = cb[(gs_tok + tlocal - w)[sel]]
+        # chunks are contiguous token runs -> run-length encode
+        new = np.empty(total, dtype=bool)
+        new[0] = True
+        new[1:] = (doc_tok[1:] != doc_tok[:-1]) | (
+            tok_chunk[1:] != tok_chunk[:-1]
+        )
+        rstarts = np.flatnonzero(new)
+        clen = np.diff(np.append(rstarts, total))
+        cdoc = ids[doc_tok[rstarts]]
+        chash = poly_hash_segments(h, clen).view(np.int64)
+        return pa.table(
+            {
+                "salt": pa.array(chash & mask),
+                "doc_id": pa.array(cdoc),
+                "chash": pa.array(chash),
+                "clen": pa.array(clen),
+            }
+        )
+
+    def flag_and_partial(group: pd.DataFrame) -> pd.DataFrame:
+        """One salt group holds entire chunk-hash classes: mark runs of
+        >= 2 equal hashes as duplicated, then collapse to per-doc
+        partial sums (the group never leaves more than its doc count)."""
+        ch = group["chash"].to_numpy(np.int64)
+        order = np.argsort(ch, kind="stable")
+        cs = ch[order]
+        n = len(cs)
+        new_run = np.empty(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            new_run[1:] = cs[1:] != cs[:-1]
+        run_id = np.cumsum(new_run) - 1
+        dup = np.zeros(n, dtype=bool)
+        if n:
+            dup[order] = np.bincount(run_id)[run_id] >= 2
+        ids = group["doc_id"].to_numpy(np.int64)
+        clen = group["clen"].to_numpy(np.int64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        out = pa.table(
+            {
+                "salt2": pa.array((uids * REBAL_A + REBAL_C) % REBAL_M & mask),
+                "doc_id": pa.array(uids),
+                "n_tokens": pa.array(np.bincount(inv, weights=clen).astype(np.int64)),
+                "n_chunks": pa.array(np.bincount(inv)),
+                "n_dup_chunks": pa.array(
+                    np.bincount(inv, weights=dup).astype(np.int64)
+                ),
+                "dup_tokens": pa.array(
+                    np.bincount(inv, weights=clen * dup).astype(np.int64)
+                ),
+            }
+        )
+        return out
+
+    partials = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(flag_and_partial, batch_format="pandas")
+    )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "salt2": pa.array((ids * REBAL_A + REBAL_C) % REBAL_M & mask),
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(z),
+                "n_chunks": pa.array(z),
+                "n_dup_chunks": pa.array(z),
+                "dup_tokens": pa.array(z),
+            }
+        )
+
+    def total(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("doc_id", as_index=False)[
+            ["n_tokens", "n_chunks", "n_dup_chunks", "dup_tokens"]
+        ].sum()
+        return g
+
+    base = read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        base_rows, batch_format="pyarrow"
+    )
+    return (
+        base.union(partials).groupby("salt2").map_groups(
+            total, batch_format="pandas"
+        )
+    )
+
+
+def cdc_dedup_sql(w: int = CDC_W, kbits: int = CDC_KBITS) -> str:
+    ch = sql_char_hash("t")
+    m = 1 << kbits
+    return f"""
+WITH hl AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '{TOKEN_SPLIT_RE}'),
+                                t -> {ch}) AS hl
+  FROM documents),
+pos AS (SELECT doc_id, hl, unnest(range(len(hl))) AS j
+        FROM hl WHERE len(hl) > 0),
+b AS (SELECT doc_id, j, hl[j+1] AS th,
+        CASE WHEN j >= {w - 1} AND j < len(hl) - 1
+               AND list_reduce(hl[greatest(j - {w - 2}, 1) : j + 1],
+                               (a, c) -> (a * {B_TOK} + c) % {M31}) % {m} = 0
+        THEN 1 ELSE 0 END AS bnd
+      FROM pos),
+cid AS (SELECT doc_id, j, th,
+        CAST(COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS chunk_id
+      FROM b),
+chunks AS (SELECT doc_id, chunk_id,
+        list_reduce(list(th ORDER BY j), (a, c) -> (a * {B_TOK} + c) % {M31})
+          AS chash,
+        count(*) AS clen
+      FROM cid GROUP BY 1, 2),
+cnt AS (SELECT chash, count(*) AS c FROM chunks GROUP BY 1),
+agg AS (SELECT doc_id,
+               sum(clen) AS n_tokens,
+               count(*) AS n_chunks,
+               sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup,
+               sum(CASE WHEN c >= 2 THEN clen ELSE 0 END) AS dup_toks
+        FROM chunks JOIN cnt USING (chash) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(COALESCE(dup_toks, 0) AS BIGINT) AS dup_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ------------------------------------------- deterministic epoch shuffle
+
+EPOCH_SHARDS = 64  # training reader count; sized to the cluster in prod
+
+
+def epoch_shuffle(sf_dir: str, epoch: int = 1, n_shards: int = EPOCH_SHARDS):
+    """Deterministic per-epoch global shuffle -> training shard + order.
+
+    Every epoch a training run needs a DIFFERENT but REPRODUCIBLE global
+    permutation of the corpus, split into ``n_shards`` reader shards.
+    The shuffle key is the LCG scramble k = (doc_id*A + epoch*C) mod M —
+    a new pseudo-random total order per epoch with no RNG state, so any
+    shard can be re-materialized bit-identically after a failure (and
+    the SQL twin reproduces it row for row).  Returns
+    (doc_id, shard, pos): shard = k mod n_shards, pos = rank of k
+    (doc_id tie-break) within the shard.
+
+    Scale shape: ONE hash-keyed exchange of 24-byte rows (the shuffle a
+    global permutation genuinely requires); each shard sorts locally —
+    n_shards is the training reader count, so group sizes are corpus/
+    readers by construction and no group outgrows a worker.
+    """
+    import pandas as pd
+
+    ds = read(sf_dir, "documents", columns=["doc_id"])
+    off = (epoch * REBAL_C) % REBAL_M
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        if len(ids) and int(ids.max()) >= 1 << 32:
+            raise ValueError(
+                "epoch_shuffle requires doc_id < 2^32 (got "
+                f"{int(ids.max())}); pre-reduce ids mod {REBAL_M}"
+            )
+        k = (ids * REBAL_A + off) % REBAL_M
+        return pa.table(
+            {
+                "shard": pa.array(k % n_shards),
+                "k": pa.array(k),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def order_shard(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["k", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "shard": g["shard"].to_numpy(np.int64),
+                "pos": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order_shard, batch_format="pandas")
+    )
+
+
+def epoch_shuffle_sql(epoch: int = 1, n_shards: int = EPOCH_SHARDS) -> str:
+    off = (epoch * REBAL_C) % REBAL_M
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         (CAST(doc_id AS BIGINT) * {REBAL_A} + {off}) % {REBAL_M} AS k
+  FROM documents)
+SELECT doc_id,
+       k % {n_shards} AS shard,
+       CAST(row_number() OVER (PARTITION BY k % {n_shards}
+                               ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+"""
