@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         imagededup,
+        lexsearch,
         pii,
         relational,
         sampling,
@@ -346,6 +347,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # epoch) key -> shard + within-shard rank; ONE 24-byte-row
         # exchange, reproducible across runs and cluster sizes
         "epoch_shuffle": curation.epoch_shuffle,
+        # corpus-trained bigram-LM perplexity filter (r5, CCNet-style):
+        # integer floor(log2 q) scores, model built AND attached via
+        # salted co-partition — the vocabulary never hits the driver
+        "lm_perplexity_filter": curation.lm_perplexity_filter,
+        # BM25 lexical top-k (r5): integer-exact Robertson scoring, O(1)
+        # query-term stats collect, per-block partial top-k
+        "bm25_search": lexsearch.bm25_search,
         # PII redaction (r5): email/phone/IP scrub over the planted-PII
         # table — one vectorized RE2 pass, counts + redacted text
         "pii_redact": pii.pii_redact,
@@ -455,6 +463,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         curation,
         dedup,
         imagededup,
+        lexsearch,
         pii,
         relational,
         sampling,
@@ -549,6 +558,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "passage_dedup": curation.passage_dedup_sql(),
         "cdc_dedup": curation.cdc_dedup_sql(),
         "epoch_shuffle": curation.epoch_shuffle_sql(),
+        "lm_perplexity_filter": curation.lm_perplexity_filter_sql(),
+        "bm25_search": lexsearch.bm25_search_sql(),
         "pii_redact": pii.pii_redact_sql(sf_dir),
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),

@@ -276,6 +276,14 @@ def run_bench() -> dict:
     timed("passage_dedup", lambda: curation.passage_dedup(SF_DIR).count())
     timed("cdc_dedup", lambda: curation.cdc_dedup(SF_DIR).count())
     timed("epoch_shuffle", lambda: curation.epoch_shuffle(SF_DIR).count())
+    timed(
+        "lm_perplexity_filter",
+        lambda: curation.lm_perplexity_filter(SF_DIR).count(),
+    )
+
+    from pytorchocr_ray.ops import lexsearch as _lex
+
+    timed("bm25_search", lambda: _lex.bm25_search(SF_DIR).to_pandas())
 
     from pytorchocr_ray.ops import pii as _pii
 
