@@ -24,7 +24,11 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   projection of embeddings), cdc_dedup (content-defined chunking
   dedup — boundaries by rolling hash, shift-robust unlike fixed
   windows), and epoch_shuffle (deterministic per-epoch global shuffle
-  into training shards) -> 62/62).
+  into training shards), and (session 3) bm25_search (integer-exact
+  BM25 lexical top-k), lm_perplexity_filter (corpus-trained bigram-LM
+  CCNet-style quality filter), inverted_index (vocabulary-bounded
+  index build with posting-list fingerprints), range_join_tiers
+  (broadcast non-equi interval join) -> 66/66).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -354,6 +358,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 lexical top-k (r5): integer-exact Robertson scoring, O(1)
         # query-term stats collect, per-block partial top-k
         "bm25_search": lexsearch.bm25_search,
+        # inverted-index build (r5): per-token df/tf + posting-list
+        # fingerprint via ONE token-salted exchange; output stays
+        # vocabulary-bounded (postings verified by fingerprint)
+        "inverted_index": lexsearch.inverted_index,
+        # non-equi range join (r5): events binned into static value
+        # tiers by broadcast searchsorted — zero shuffle, the small-
+        # side interval-join shape equality joins can't express
+        "range_join_tiers": relational.range_join_tiers,
         # PII redaction (r5): email/phone/IP scrub over the planted-PII
         # table — one vectorized RE2 pass, counts + redacted text
         "pii_redact": pii.pii_redact,
@@ -560,6 +572,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "epoch_shuffle": curation.epoch_shuffle_sql(),
         "lm_perplexity_filter": curation.lm_perplexity_filter_sql(),
         "bm25_search": lexsearch.bm25_search_sql(),
+        "inverted_index": lexsearch.inverted_index_sql(),
+        "range_join_tiers": relational.range_join_tiers_sql(),
         "pii_redact": pii.pii_redact_sql(sf_dir),
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),

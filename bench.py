@@ -284,6 +284,11 @@ def run_bench() -> dict:
     from pytorchocr_ray.ops import lexsearch as _lex
 
     timed("bm25_search", lambda: _lex.bm25_search(SF_DIR).to_pandas())
+    timed("inverted_index", lambda: _lex.inverted_index(SF_DIR).count())
+    timed(
+        "range_join_tiers",
+        lambda: relational.range_join_tiers(SF_DIR).to_pandas(),
+    )
 
     from pytorchocr_ray.ops import pii as _pii
 

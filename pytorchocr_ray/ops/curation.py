@@ -1292,8 +1292,9 @@ FROM k
 # bigram starting with w1 lands in one group, so c(w1,*) is a local sum.
 # Pass 2 re-streams the corpus into per-doc bigram rows, unions them
 # with the model rows, and a second salt-groupby attaches logq with one
-# vectorized merge per group (the _verify_jaccard co-partition pattern),
-# then groupby(doc_id).sum closes per-doc totals.  The scored table is
+# vectorized merge per group (the _verify_jaccard co-partition pattern);
+# a doc-salted map_groups exchange closes per-doc totals.  The scored
+# table is
 # pinned via materialize() for the histogram + flag passes — it is 4
 # ints per document (~32 B/doc, sketches-only, the same bound class as
 # minhash's pinned signature table).  Docs with < 2 tokens have no

@@ -221,3 +221,116 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
   FROM sc WHERE score > 0)
 WHERE rank <= {k}
 """
+
+
+# ------------------------------------- inverted-index construction (r5)
+#
+# The index-build half of lexical search: one row per distinct corpus
+# token with its document frequency, total term frequency, a polynomial
+# fingerprint of the FULL sorted posting list, and the first
+# SAMPLE_K doc ids as a preview.  The fingerprint stands in for
+# materializing unbounded posting lists in the result table (the same
+# trick as vocab_encode's ids_fp): the driver-visible output stays
+# vocabulary-bounded while still hash-verifying every posting.
+#
+# Scale shape: per-batch distinct (token, doc_id, tf) rows -> ONE salted
+# exchange on hash(token) (all rows of a token co-locate, so df /
+# total_tf / the sorted posting fingerprint are local to the group).
+# Output is vocabulary-sized, never corpus-sized.
+
+SAMPLE_K = 5
+
+
+def inverted_index(sf_dir: str, sample_k: int = SAMPLE_K):
+    """(token, df, total_tf, postings_fp, sample_docs) per distinct
+    corpus token; ``postings_fp`` is the 31-bit polynomial fingerprint of
+    the doc_id-ascending posting list (ids reduced mod M31), and
+    ``sample_docs`` the first ``sample_k`` ids comma-joined.  Value-exact
+    DuckDB twin in :func:`inverted_index_sql`."""
+    from .dedup import _auto_salts
+    from .hashing import (
+        M31,
+        poly_hash_segments,
+        poly_hash_strings,
+        tokenize_batch,
+    )
+
+    salts = _auto_salts()
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        flat, lens = tokenize_batch(texts)
+        g = (
+            pd.DataFrame(
+                {
+                    "token": np.asarray(flat, dtype=object),
+                    "doc_id": np.repeat(ids, lens),
+                }
+            )
+            .groupby(["token", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        h = poly_hash_strings(g["token"].tolist()).astype(np.int64)
+        g["salt"] = (h % salts).astype(np.int32)
+        g["tf"] = g["tf"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def index_group(group: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive distinct per (token, doc_id) — each doc lives in
+        # exactly one batch — but a re-blocked upstream could split one;
+        # the groupby close-out keeps the op correct either way
+        g = group.groupby(["token", "doc_id"], as_index=False)["tf"].sum()
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        toks = g["token"].to_numpy(object)
+        ids = g["doc_id"].to_numpy(np.int64)
+        tfs = g["tf"].to_numpy(np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        fp = poly_hash_segments((ids % M31).astype(np.uint64), lens)
+        tf_sums = np.add.reduceat(tfs, starts)
+        sample = [
+            ",".join(str(d) for d in ids[s : s + min(sample_k, l)])
+            for s, l in zip(starts, lens)
+        ]
+        return pd.DataFrame(
+            {
+                "token": toks[starts],
+                "df": lens.astype(np.int64),
+                "total_tf": tf_sums.astype(np.int64),
+                "postings_fp": fp.astype(np.int64),
+                "sample_docs": sample,
+            }
+        )
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(index_group, batch_format="pandas")
+    )
+
+
+def inverted_index_sql(sample_k: int = SAMPLE_K) -> str:
+    from .hashing import B_TOK, M31
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents),
+tf AS (
+  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         list_sort(list(doc_id)) AS ids
+  FROM tf GROUP BY 1)
+SELECT token, df, total_tf,
+       CAST(list_reduce(list_transform(ids, d -> d % {M31}),
+                        (a, d) -> (a * {B_TOK} + d) % {M31})
+            AS BIGINT) AS postings_fp,
+       array_to_string(ids[1:{sample_k}], ',') AS sample_docs
+FROM agg
+"""

@@ -630,3 +630,101 @@ def sketch_quantile(values: np.ndarray, pct: int) -> float:
     n = len(v)
     idx = int(np.searchsorted(100 * np.arange(1, n + 1), pct * n, side="left"))
     return float(v[min(idx, n - 1)])
+
+
+# --------------------------------------------- non-equi range join (r5)
+#
+# Interval (theta) join: events priced into static value tiers — the one
+# join shape the equality-keyed coverage above can't express
+# (ON v >= lo AND v < hi).  The tier table is a literal constant, so the
+# distributed form is a BROADCAST range lookup: every block bins its own
+# rows with one searchsorted against the sorted tier bounds — no
+# shuffle at all; the close-out aggregate is tier-bounded (|tiers| rows
+# per block).  At 100 TB this is the canonical small-side non-equi join:
+# the big side streams, the range side rides the closure.
+#
+# Tiers are half-open [lo, hi) in integer cents (the repo-wide
+# floor(x*100+0.5) convention) and deliberately leave a GAP (no tier
+# covers [150_00, 200_00)) so the anti-join path — rows matching no
+# interval are dropped — is exercised, exactly as SQL's inner join
+# semantics require.
+
+VALUE_TIERS = (
+    # (tier, lo_cents, hi_cents)
+    ("micro", 0, 5_00),
+    ("small", 5_00, 20_00),
+    ("mid", 20_00, 80_00),
+    ("large", 80_00, 150_00),
+    ("jumbo", 200_00, 1 << 31),
+)
+
+
+def range_join_tiers(sf_dir: str):
+    """(tier, lo_cents, hi_cents, n_events, sum_cents) per value tier:
+    events inner-joined to the static tier intervals on
+    lo <= cents < hi.  Value-exact DuckDB twin in
+    :func:`range_join_tiers_sql`."""
+    ds = read(sf_dir, "events", columns=["value"])
+    los = np.array([t[1] for t in VALUE_TIERS], dtype=np.int64)
+    his = np.array([t[2] for t in VALUE_TIERS], dtype=np.int64)
+    names = [t[0] for t in VALUE_TIERS]
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch["value"].to_pylist(), dtype=np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        # tiers are sorted by lo; searchsorted gives the candidate tier,
+        # the hi check drops gap rows (inner-join semantics)
+        idx = np.searchsorted(los, cents, side="right") - 1
+        ok = (idx >= 0) & (cents < his[np.clip(idx, 0, len(his) - 1)])
+        idx = idx[ok]
+        cents = cents[ok]
+        n = np.bincount(idx, minlength=len(los)).astype(np.int64)
+        s = np.bincount(idx, weights=cents, minlength=len(los)).astype(
+            np.int64
+        )
+        nz = n > 0
+        return pa.table(
+            {
+                "tier": pa.array(np.asarray(names, dtype=object)[nz]),
+                "lo_cents": pa.array(los[nz]),
+                "hi_cents": pa.array(his[nz]),
+                "n_events": pa.array(n[nz]),
+                "sum_cents": pa.array(s[nz]),
+            }
+        )
+
+    def close(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tier": batch["tier"],
+                "lo_cents": batch["lo_cents"],
+                "hi_cents": batch["hi_cents"],
+                "n_events": batch["sum(n_events)"],
+                "sum_cents": batch["sum(sum_cents)"],
+            }
+        )
+
+    return (
+        ds.map_batches(bin_partial, batch_format="pyarrow")
+        .groupby(["tier", "lo_cents", "hi_cents"])
+        .sum(["n_events", "sum_cents"])
+        .map_batches(close, batch_format="pyarrow")
+    )
+
+
+def range_join_tiers_sql() -> str:
+    vals = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS)
+    return f"""
+WITH tiers(tier, lo, hi) AS (VALUES {vals}),
+e AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT t.tier,
+       CAST(t.lo AS BIGINT) AS lo_cents,
+       CAST(t.hi AS BIGINT) AS hi_cents,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(e.cents) AS BIGINT) AS sum_cents
+FROM e JOIN tiers t ON e.cents >= t.lo AND e.cents < t.hi
+GROUP BY 1, 2, 3
+"""

@@ -154,3 +154,68 @@ def test_lm_filter_keep_fraction(ray_session, lex_dir):
 
     e = lm_perplexity_filter(lex_dir, pct=0).to_pandas()
     assert e["kept"].all()
+
+
+def test_inverted_index_parity(ray_session, lex_dir, con):
+    from pytorchocr_ray.ops.lexsearch import inverted_index, inverted_index_sql
+
+    e = inverted_index(lex_dir).to_pandas()
+    o = con.sql(inverted_index_sql()).df()
+    e = e.sort_values("token").reset_index(drop=True)
+    o = o[e.columns].sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, o, check_dtype=False)
+    # every planted token appears once; df <= corpus size
+    assert e["token"].is_unique
+    assert (e["df"] <= 40).all() and (e["total_tf"] >= e["df"]).all()
+
+
+def test_inverted_index_fingerprint_is_posting_hash(ray_session, lex_dir):
+    """The fingerprint equals a direct serial Horner hash of the token's
+    sorted posting list, computed independently of the engine's
+    vectorized segment kernel and of the SQL twin."""
+    from pytorchocr_ray.ops.hashing import B_TOK, M31
+    from pytorchocr_ray.ops.lexsearch import inverted_index
+
+    import pyarrow.parquet as pq
+
+    e = inverted_index(lex_dir).to_pandas().set_index("token")
+    docs = pq.read_table(f"{lex_dir}/documents.parquet").to_pandas()
+    tok = "merge"
+    ids = sorted(
+        {
+            int(r.doc_id)
+            for r in docs.itertuples()
+            if tok in str(r.text).split()
+        }
+    )
+    fp = 0
+    for d in ids:
+        fp = (fp * B_TOK + (d % M31)) % M31
+    assert int(e.loc[tok, "postings_fp"]) == fp
+    assert int(e.loc[tok, "df"]) == len(ids)
+    assert e.loc[tok, "sample_docs"] == ",".join(str(d) for d in ids[:5])
+
+
+def test_range_join_tiers_parity(ray_session):
+    """Non-equi interval join vs DuckDB on real testdata: tier bins,
+    gap rows (no matching interval) dropped on both sides."""
+    from pytorchocr_ray.ops.relational import (
+        VALUE_TIERS,
+        range_join_tiers,
+        range_join_tiers_sql,
+    )
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    e = range_join_tiers(SF_DIR).to_pandas()
+    o = c.sql(range_join_tiers_sql()).df()
+    e = e.sort_values("lo_cents").reset_index(drop=True)
+    o = o[e.columns].sort_values("lo_cents").reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, o, check_dtype=False)
+    # the deliberate [150_00, 200_00) gap really drops rows
+    n_total = c.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert e["n_events"].sum() < n_total
+    assert set(e["tier"]) <= {t[0] for t in VALUE_TIERS}
