@@ -28,7 +28,10 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   BM25 lexical top-k), lm_perplexity_filter (corpus-trained bigram-LM
   CCNet-style quality filter), inverted_index (vocabulary-bounded
   index build with posting-list fingerprints), range_join_tiers
-  (broadcast non-equi interval join) -> 66/66).
+  (broadcast non-equi interval join), customers_without_orders
+  (distributed anti-join, TPC-H Q22 shape), user_running_total
+  (cumulative SUM OVER window), kmeans_clusters (k-bounded cluster
+  membership with member fingerprints) -> 69/69).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -351,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # epoch) key -> shard + within-shard rank; ONE 24-byte-row
         # exchange, reproducible across runs and cluster sizes
         "epoch_shuffle": curation.epoch_shuffle,
+        # k-means clustering as a first-class result (r5): k-bounded
+        # per-cluster sizes + sorted-member fingerprints over the
+        # trained-centroid broadcast assignment
+        "kmeans_clusters": curation.kmeans_clusters,
         # corpus-trained bigram-LM perplexity filter (r5, CCNet-style):
         # integer floor(log2 q) scores, model built AND attached via
         # salted co-partition — the vocabulary never hits the driver
@@ -366,6 +373,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tiers by broadcast searchsorted — zero shuffle, the small-
         # side interval-join shape equality joins can't express
         "range_join_tiers": relational.range_join_tiers,
+        # distributed anti-join (r5, TPC-H Q22 shape): customers with
+        # no 'P'-status order — one custkey-salted union exchange,
+        # orders side pre-distincted per batch
+        "customers_without_orders": relational.customers_without_orders,
+        # cumulative window (r5): per-user running spend — SUM OVER
+        # (PARTITION ORDER BY) via a user-salted exchange + segment-
+        # vectorized cumsum, no per-user loop
+        "user_running_total": relational.user_running_total,
         # PII redaction (r5): email/phone/IP scrub over the planted-PII
         # table — one vectorized RE2 pass, counts + redacted text
         "pii_redact": pii.pii_redact,
@@ -570,10 +585,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "passage_dedup": curation.passage_dedup_sql(),
         "cdc_dedup": curation.cdc_dedup_sql(),
         "epoch_shuffle": curation.epoch_shuffle_sql(),
+        "kmeans_clusters": curation.kmeans_clusters_sql(sf_dir),
         "lm_perplexity_filter": curation.lm_perplexity_filter_sql(),
         "bm25_search": lexsearch.bm25_search_sql(),
         "inverted_index": lexsearch.inverted_index_sql(),
         "range_join_tiers": relational.range_join_tiers_sql(),
+        "customers_without_orders": relational.customers_without_orders_sql(),
+        "user_running_total": relational.user_running_total_sql(),
         "pii_redact": pii.pii_redact_sql(sf_dir),
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),

@@ -273,6 +273,9 @@ def run_bench() -> dict:
     timed("pack_sequences", lambda: curation.pack_sequences(SF_DIR).count())
     timed("lang_rebalance", lambda: curation.lang_rebalance(SF_DIR).count())
     timed("semdedup", lambda: curation.semdedup(SF_DIR).count())
+    timed(
+        "kmeans_clusters", lambda: curation.kmeans_clusters(SF_DIR).count()
+    )
     timed("passage_dedup", lambda: curation.passage_dedup(SF_DIR).count())
     timed("cdc_dedup", lambda: curation.cdc_dedup(SF_DIR).count())
     timed("epoch_shuffle", lambda: curation.epoch_shuffle(SF_DIR).count())
@@ -288,6 +291,14 @@ def run_bench() -> dict:
     timed(
         "range_join_tiers",
         lambda: relational.range_join_tiers(SF_DIR).to_pandas(),
+    )
+    timed(
+        "customers_without_orders",
+        lambda: relational.customers_without_orders(SF_DIR).to_pandas(),
+    )
+    timed(
+        "user_running_total",
+        lambda: relational.user_running_total(SF_DIR).count(),
     )
 
     from pytorchocr_ray.ops import pii as _pii

