@@ -31,7 +31,9 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   (broadcast non-equi interval join), customers_without_orders
   (distributed anti-join, TPC-H Q22 shape), user_running_total
   (cumulative SUM OVER window), kmeans_clusters (k-bounded cluster
-  membership with member fingerprints) -> 69/69).
+  membership with member fingerprints), events_pivot (long-to-wide
+  hourly crosstab), extract_entities (per-occurrence explode)
+  -> 71/71).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -381,6 +383,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (PARTITION ORDER BY) via a user-salted exchange + segment-
         # vectorized cumsum, no per-user loop
         "user_running_total": relational.user_running_total,
+        # long-to-wide pivot (r5): hourly counts per event-type column
+        # from per-batch crosstab partials; unknown types -> n_other
+        "events_pivot": relational.events_pivot,
+        # entity extraction / explode (r5): one row per email/phone/IP
+        # occurrence — the flat_map contract over unstructured text
+        "extract_entities": pii.extract_entities,
         # PII redaction (r5): email/phone/IP scrub over the planted-PII
         # table — one vectorized RE2 pass, counts + redacted text
         "pii_redact": pii.pii_redact,
@@ -592,6 +600,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "range_join_tiers": relational.range_join_tiers_sql(),
         "customers_without_orders": relational.customers_without_orders_sql(),
         "user_running_total": relational.user_running_total_sql(),
+        "events_pivot": relational.events_pivot_sql(),
+        "extract_entities": pii.extract_entities_sql(sf_dir),
         "pii_redact": pii.pii_redact_sql(sf_dir),
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),

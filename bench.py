@@ -300,11 +300,15 @@ def run_bench() -> dict:
         "user_running_total",
         lambda: relational.user_running_total(SF_DIR).count(),
     )
+    timed("events_pivot", lambda: relational.events_pivot(SF_DIR).count())
 
     from pytorchocr_ray.ops import pii as _pii
 
     _pii.synth_pii_parquet(SF_DIR)  # untimed: fixture build on first call
     timed("pii_redact", lambda: _pii.pii_redact(SF_DIR).count())
+    timed(
+        "extract_entities", lambda: _pii.extract_entities(SF_DIR).count()
+    )
     timed(
         "source_budget_cap",
         lambda: curation.source_budget_cap(SF_DIR).count(),

@@ -144,3 +144,78 @@ SELECT doc_id,
        {red} AS redacted
 FROM read_parquet('{path}')
 """
+
+
+# -------------------------------------------- entity extraction (r5)
+#
+# The EXPLODE shape over unstructured text: one input document fans out
+# to one row per extracted entity occurrence — the flat_map contract
+# (pii_redact above summarizes counts; this op EMITS the matches).
+# Distinct (doc, kind, entity) occurrences collapse to an ``occ`` count
+# per batch so duplicate entities inside one document don't multiply
+# rows through the pipeline.  Shuffle-free: pure per-batch kernel.
+#
+# Python's `re` and DuckDB share the RE2-safe pattern subset used here,
+# and the per-doc findall is the same per-row cost class as the
+# house-wide tokenize_batch str.split (pyarrow.compute has no
+# extract-ALL kernel to vectorize with).
+
+_ENTITY_KINDS = tuple(
+    (name.removeprefix("n_").rstrip("s"), pat) for name, pat, _ in _PATTERNS
+)
+
+
+def extract_entities(sf_dir: str):
+    """(doc_id, kind, entity, occ): every email/phone/IP occurrence in
+    the planted-PII table, one row per distinct entity per document.
+    Value-exact DuckDB twin in :func:`extract_entities_sql`."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    path = synth_pii_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    compiled = [(kind, re.compile(pat)) for kind, pat in _ENTITY_KINDS]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        out_id: list[int] = []
+        out_kind: list[str] = []
+        out_ent: list[str] = []
+        for kind, rx in compiled:
+            for i, t in zip(ids, texts):
+                for m in rx.findall(t):
+                    out_id.append(i)
+                    out_kind.append(kind)
+                    out_ent.append(m)
+        g = (
+            pd.DataFrame(
+                {"doc_id": out_id, "kind": out_kind, "entity": out_ent}
+            )
+            .groupby(["doc_id", "kind", "entity"], as_index=False)
+            .size()
+            .rename(columns={"size": "occ"})
+        )
+        g["doc_id"] = g["doc_id"].astype(np.int64)
+        g["occ"] = g["occ"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def extract_entities_sql(sf_dir: str) -> str:
+    path = synth_pii_parquet(sf_dir)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{kind}' AS kind,"
+        f" unnest(regexp_extract_all(text, '{pat}')) AS entity"
+        f" FROM read_parquet('{path}')"
+        for kind, pat in _ENTITY_KINDS
+    )
+    return f"""
+WITH hits AS (
+{arms})
+SELECT doc_id, kind, entity, CAST(count(*) AS BIGINT) AS occ
+FROM hits GROUP BY 1, 2, 3
+"""

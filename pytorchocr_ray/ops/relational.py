@@ -926,3 +926,72 @@ SELECT event_id, user_id,
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
 FROM events
 """
+
+
+# ----------------------------------------------- pivot aggregate (r5)
+#
+# Long-to-wide reshaping: one row per hour with a COLUMN per event type
+# (the classic reporting pivot; events_hourly above is the long form).
+# The type set is a static enum, so the pivot is a per-batch crosstab
+# partial followed by an hour-bounded groupby sum — no second pass and
+# no dynamic schema discovery (at 100 TB a dynamic pivot would need a
+# distinct-key pre-pass; a fixed enum is the honest contract here, and
+# unknown types are counted into ``n_other`` rather than dropped so
+# nothing is silently lost).
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def events_pivot(sf_dir: str):
+    """(hour, n_view, n_click, n_purchase, n_signup, n_error, n_other,
+    sum_cents): hourly counts per event type, wide.  Value-exact DuckDB
+    twin in :func:`events_pivot_sql`."""
+    ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    cols = [f"n_{t}" for t in EVENT_TYPES] + ["n_other"]
+
+    def crosstab(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = (
+            df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        ).astype(np.int64)
+        df["cents"] = np.floor(
+            df["value"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        tcol = df["event_type"].to_numpy(object)
+        for t in EVENT_TYPES:
+            df[f"n_{t}"] = (tcol == t).astype(np.int64)
+        df["n_other"] = (~np.isin(tcol, EVENT_TYPES)).astype(np.int64)
+        g = df.groupby("hour", as_index=False)[cols + ["cents"]].sum()
+        g = g.rename(columns={"cents": "sum_cents"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def close(batch: pa.Table) -> pa.Table:
+        out = {"hour": batch["hour"]}
+        for c in cols + ["sum_cents"]:
+            out[c] = pc.cast(batch[f"sum({c})"], pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(crosstab, batch_format="pyarrow")
+        .groupby("hour")
+        .sum(cols + ["sum_cents"])
+        .map_batches(close, batch_format="pyarrow")
+    )
+
+
+def events_pivot_sql() -> str:
+    per_type = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    in_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+       {per_type},
+       CAST(count(*) FILTER (WHERE event_type NOT IN ({in_list}))
+            AS BIGINT) AS n_other,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1
+"""

@@ -274,3 +274,30 @@ def test_user_running_total_parity(ray_session):
     m = m.sort_values(["user_id", "ts", "event_id"])
     d = m.groupby("user_id")["cum_cents"].diff().dropna()
     assert (d >= 0).all()
+
+
+def test_events_pivot_parity(ray_session):
+    """Wide pivot equals the long events_hourly totals row-for-row."""
+    from pytorchocr_ray.ops.relational import (
+        EVENT_TYPES,
+        events_pivot,
+        events_pivot_sql,
+    )
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    e = events_pivot(SF_DIR).to_pandas()
+    o = c.sql(events_pivot_sql()).df()
+    ks = list(e.columns)
+    pd.testing.assert_frame_equal(
+        e.sort_values(ks).reset_index(drop=True),
+        o[ks].sort_values(ks).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # this corpus has only known types, and wide counts cover all events
+    assert (e["n_other"] == 0).all()
+    n_total = c.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert int(e[[f"n_{t}" for t in EVENT_TYPES]].to_numpy().sum()) == n_total

@@ -133,3 +133,32 @@ def test_pii_fixture_deterministic():
     p1 = synth_pii_parquet(SF_DIR)
     p2 = synth_pii_parquet(SF_DIR)
     assert p1 == p2 and os.path.isfile(p1)
+
+
+def test_extract_entities_parity(ray_session, tmp_path):
+    """Explode parity: every planted entity appears as its own row and
+    the per-doc occurrence counts reconcile with pii_redact's totals."""
+    import duckdb
+    import pandas as pd
+
+    from pytorchocr_ray.ops.pii import (
+        extract_entities,
+        extract_entities_sql,
+        pii_redact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = extract_entities(sf).to_pandas()
+    o = duckdb.sql(extract_entities_sql(sf)).df()
+    ks = list(e.columns)
+    pd.testing.assert_frame_equal(
+        e.sort_values(ks).reset_index(drop=True),
+        o[ks].sort_values(ks).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # occurrence totals reconcile with the redaction counters
+    red = pii_redact(sf).to_pandas()
+    per_kind = e.groupby("kind")["occ"].sum()
+    assert per_kind["email"] == red["n_emails"].sum()
+    assert per_kind["phone"] == red["n_phones"].sum()
+    assert per_kind["ip"] == red["n_ips"].sum()
