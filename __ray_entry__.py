@@ -32,8 +32,9 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   (distributed anti-join, TPC-H Q22 shape), user_running_total
   (cumulative SUM OVER window), kmeans_clusters (k-bounded cluster
   membership with member fingerprints), events_pivot (long-to-wide
-  hourly crosstab), extract_entities (per-occurrence explode)
-  -> 71/71).
+  hourly crosstab), extract_entities (per-occurrence explode),
+  bpe_merges / bpe_encode (BPE tokenizer training + encoding vs an
+  independent serial-reference fixture) -> 73/73).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -288,6 +289,7 @@ def _evaluate_engine(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pytorchocr_ray.ops import (
+        bpe,
         curation,
         dedup,
         imagededup,
@@ -386,6 +388,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # long-to-wide pivot (r5): hourly counts per event-type column
         # from per-batch crosstab partials; unknown types -> n_other
         "events_pivot": relational.events_pivot,
+        # BPE tokenizer training (r5): K-bounded word-count collect ->
+        # serial merge loop (how real trainers run) -> merge table;
+        # oracle = INDEPENDENT serial reference fixture
+        "bpe_merges": bpe.bpe_merges,
+        # BPE encoding (r5): trained merges broadcast, per-distinct-
+        # word memo, per-doc symbol counts + sequence fingerprint
+        "bpe_encode": bpe.bpe_encode,
         # entity extraction / explode (r5): one row per email/phone/IP
         # occurrence — the flat_map contract over unstructured text
         "extract_entities": pii.extract_entities,
@@ -495,6 +504,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     extraction ground truth, pubtab expected table, audio/video synth
     parquet — are derived from it, not pinned to sf0.01)."""
     from pytorchocr_ray.ops import (
+        bpe,
         curation,
         dedup,
         imagededup,
@@ -602,6 +612,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "user_running_total": relational.user_running_total_sql(),
         "events_pivot": relational.events_pivot_sql(),
         "extract_entities": pii.extract_entities_sql(sf_dir),
+        "bpe_merges": bpe.bpe_merges_sql(sf_dir),
+        "bpe_encode": bpe.bpe_encode_sql(sf_dir),
         "pii_redact": pii.pii_redact_sql(sf_dir),
         "source_budget_cap": curation.source_budget_cap_sql(),
         "interleave_mix": curation.interleave_mix_sql(),

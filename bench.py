@@ -336,6 +336,11 @@ def run_bench() -> dict:
     )
     timed("bpe_token_count", lambda: textstats.bpe_token_count(SF_DIR).count())
 
+    from pytorchocr_ray.ops import bpe as _bpe
+
+    timed("bpe_merges", lambda: _bpe.bpe_merges(SF_DIR).count())
+    timed("bpe_encode", lambda: _bpe.bpe_encode(SF_DIR).count())
+
     # G.711 mu-law decode + features (second native compressed codec)
     def run_mulaw():
         import ray.data as rd

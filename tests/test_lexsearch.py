@@ -301,3 +301,51 @@ def test_events_pivot_parity(ray_session):
     assert (e["n_other"] == 0).all()
     n_total = c.sql("SELECT count(*) FROM events").fetchone()[0]
     assert int(e[[f"n_{t}" for t in EVENT_TYPES]].to_numpy().sum()) == n_total
+
+
+def test_bpe_merges_and_encode_parity(ray_session):
+    """Distributed BPE vs the independent serial reference fixture on
+    real testdata, plus spec sanity on the merge table itself."""
+    from pytorchocr_ray.ops.bpe import (
+        bpe_encode,
+        bpe_encode_sql,
+        bpe_merges,
+        bpe_merges_sql,
+    )
+
+    m = bpe_merges(SF_DIR).to_pandas()
+    om = duckdb.sql(bpe_merges_sql(SF_DIR)).df()
+    pd.testing.assert_frame_equal(
+        m.sort_values("rank").reset_index(drop=True),
+        om[m.columns].sort_values("rank").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # merge freq is non-increasing only per symbol generation — but a
+    # later merge can never beat the pair it was built from at the time
+    # it was chosen; minimal invariant: all freqs positive, ranks dense
+    assert (m["freq"] > 0).all()
+    assert list(m["rank"]) == list(range(len(m)))
+
+    e = bpe_encode(SF_DIR).to_pandas()
+    oe = duckdb.sql(bpe_encode_sql(SF_DIR)).df()
+    ks = list(e.columns)
+    pd.testing.assert_frame_equal(
+        e.sort_values(ks).reset_index(drop=True),
+        oe[ks].sort_values(ks).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # merging strictly compresses: every doc has fewer BPE symbols than
+    # characters, and at least as many as words (EOW can't merge away
+    # past the word count)
+    assert (e["n_bpe"] < e["n_chars"]).all()
+    assert (e["n_bpe"] > 0).all()
+
+
+def test_bpe_merge_word_spec():
+    """Left-to-right non-overlapping merge: 'aaa' + (a,a) -> ('aa','a')."""
+    from pytorchocr_ray.ops.bpe import _merge_word
+
+    assert _merge_word(("a", "a", "a"), "a", "a") == ("aa", "a")
+    assert _merge_word(("a", "a", "a", "a"), "a", "a") == ("aa", "aa")
+    assert _merge_word(("x", "a", "a"), "a", "a") == ("x", "aa")
+    assert _merge_word(("a",), "a", "a") == ("a",)
