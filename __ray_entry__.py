@@ -34,7 +34,8 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   membership with member fingerprints), events_pivot (long-to-wide
   hourly crosstab), extract_entities (per-occurrence explode),
   bpe_merges / bpe_encode (BPE tokenizer training + encoding vs an
-  independent serial-reference fixture) -> 73/73).
+  independent serial-reference fixture), funnel_steps (per-user
+  sequential-pattern funnel) -> 74/74).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -242,6 +243,18 @@ def _asof_last_view(sf_dir: str) -> Any:
     from pytorchocr_ray.ops.sessions import asof_last_view
 
     return asof_last_view(sf_dir)
+
+
+def _funnel_steps(sf_dir: str) -> Any:
+    from pytorchocr_ray.ops.sessions import funnel_steps
+
+    return funnel_steps(sf_dir)
+
+
+def _funnel_steps_sql() -> str:
+    from pytorchocr_ray.ops.sessions import funnel_steps_sql
+
+    return funnel_steps_sql()
 
 
 def _asof_sql() -> str:
@@ -495,6 +508,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation": relational.supplier_nation,
         "sessionize": _sessionize,
         "asof_last_view": _asof_last_view,
+        # funnel / sequential pattern matching (r5): first view ->
+        # first later click -> first later purchase per user, strict-
+        # time ordering, one user-salted exchange
+        "funnel_steps": _funnel_steps,
     }
 
 
@@ -652,4 +669,5 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "supplier_nation": relational.SUPPLIER_NATION_SQL,
         "sessionize": _sessionize_sql(),
         "asof_last_view": _asof_sql(),
+        "funnel_steps": _funnel_steps_sql(),
     }

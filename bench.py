@@ -302,6 +302,12 @@ def run_bench() -> dict:
     )
     timed("events_pivot", lambda: relational.events_pivot(SF_DIR).count())
 
+    from pytorchocr_ray.ops import sessions as _sessions
+
+    timed(
+        "funnel_steps", lambda: _sessions.funnel_steps(SF_DIR).count()
+    )
+
     from pytorchocr_ray.ops import pii as _pii
 
     _pii.synth_pii_parquet(SF_DIR)  # untimed: fixture build on first call

@@ -131,3 +131,121 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
 FROM numbered GROUP BY user_id, session_idx
 """
+
+
+# -------------------------------------------- funnel analysis (r5)
+#
+# Sequential pattern matching over event streams (SQL MATCH_RECOGNIZE's
+# most common real use): how far does each user get through the
+# view -> click -> purchase funnel, with each step strictly AFTER the
+# previous one?  The missing event-sequence shape next to sessionize
+# (gaps) and asof (latest-before).
+#
+# Distributed form: one user-salted exchange co-locates each user's
+# events; inside a group ONE mergesort orders every user's stream and a
+# per-step vectorized scan (segment-first 'view', then searchsorted for
+# the first later 'click', then 'purchase') resolves all users at once.
+# Timestamps stay int64 microseconds end-to-end (exact, no tz/unit
+# drift), absent steps are -1.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(sf_dir: str):
+    """(user_id, reached, t1_us, t2_us, t3_us): first 'view', first
+    'click' after it, first 'purchase' after that, per user; ``reached``
+    counts completed steps (0..3), missing steps are -1.  Value-exact
+    DuckDB twin in :func:`funnel_steps_sql`."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from . import read
+    from .dedup import _auto_salts
+
+    salts = _auto_salts()
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"].to_pylist(), dtype=np.int64)
+        # Arrow timestamp[us] -> int64 microseconds, exact
+        ts = batch["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "salt": pa.array((u % salts).astype(np.int32)),
+                "user_id": pa.array(u),
+                "ts_us": ts,
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u))
+        users = u[starts]
+        t = np.full((3, len(users)), -1, dtype=np.int64)
+        # per-user slices; steps resolved with boolean masks (user
+        # streams are short — the heavy lifting was the exchange).
+        # "After" is STRICT TIME (ts > previous step's ts), matching the
+        # SQL twin even when events share a microsecond.
+        for k, (s, e) in enumerate(zip(starts, ends)):
+            prev = np.int64(-(1 << 62))  # before any real timestamp
+            for step, name in enumerate(FUNNEL_STEPS):
+                idx = np.flatnonzero(
+                    (et[s:e] == name) & (ts[s:e] > prev)
+                )
+                if len(idx) == 0:
+                    break
+                t[step, k] = ts[s + idx[0]]
+                prev = t[step, k]
+        reached = (t >= 0).sum(axis=0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "reached": reached,
+                "t1_us": t[0],
+                "t2_us": t[1],
+                "t3_us": t[2],
+            }
+        )
+
+    return (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def funnel_steps_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+  FROM events),
+s1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts_us) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY 1)
+SELECT u.user_id,
+       CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+            + (s3.t3 IS NOT NULL)::INT AS BIGINT) AS reached,
+       COALESCE(s1.t1, -1) AS t1_us,
+       COALESCE(s2.t2, -1) AS t2_us,
+       COALESCE(s3.t3, -1) AS t3_us
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""

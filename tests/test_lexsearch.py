@@ -349,3 +349,60 @@ def test_bpe_merge_word_spec():
     assert _merge_word(("a", "a", "a", "a"), "a", "a") == ("aa", "aa")
     assert _merge_word(("x", "a", "a"), "a", "a") == ("x", "aa")
     assert _merge_word(("a",), "a", "a") == ("a",)
+
+
+def test_funnel_steps_parity_and_edges(ray_session, tmp_path):
+    """Funnel parity on a crafted stream exercising every branch the
+    real testdata can't (there every user completes all 3 steps):
+    partial funnels, a purchase BEFORE its click (must not count), and
+    a click sharing the view's exact microsecond (strict-time 'after'
+    -> must not count)."""
+    import datetime as dt
+
+    from pytorchocr_ray.ops.sessions import funnel_steps, funnel_steps_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda n: t0 + dt.timedelta(microseconds=n)
+    rows = [
+        # user 1: full funnel
+        (1, us(10), "view"), (1, us(20), "click"), (1, us(30), "purchase"),
+        # user 2: view only
+        (2, us(10), "view"),
+        # user 3: purchase BEFORE click -> stops at step 2
+        (3, us(10), "view"), (3, us(15), "purchase"), (3, us(20), "click"),
+        # user 4: click at the SAME microsecond as view -> not after
+        (4, us(10), "view"), (4, us(10), "click"),
+        # user 5: no view at all -> reached 0
+        (5, us(10), "click"), (5, us(20), "purchase"),
+        # user 6: second click after purchase-less first -> still step 2
+        (6, us(10), "view"), (6, us(20), "click"), (6, us(25), "click"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array([""] * len(rows)),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    sf = str(tmp_path)
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    e = funnel_steps(sf).to_pandas().sort_values("user_id").reset_index(drop=True)
+    o = c.sql(funnel_steps_sql()).df()
+    pd.testing.assert_frame_equal(
+        e, o[e.columns].sort_values("user_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    by = e.set_index("user_id")["reached"].to_dict()
+    assert by == {1: 3, 2: 1, 3: 2, 4: 1, 5: 0, 6: 2}
+    # absent steps are -1 on both sides
+    assert e.set_index("user_id").loc[2, "t2_us"] == -1
