@@ -1,10 +1,13 @@
-"""Engine-vs-DuckDB parity + unit coverage for BM25 lexical search and
-the corpus-LM perplexity filter.
+"""Engine-vs-DuckDB parity + unit coverage for the round-5 session-3
+operators: BM25 lexical search, inverted-index build, the corpus-LM
+perplexity filter, BPE tokenizer training/encoding, and the relational
+additions (range join, anti-join, cumulative window, pivot, funnel).
 
 The synthetic fixture plants term-frequency and doc-length contrast so
-BM25's tf saturation and length normalization both move scores, and a
-gibberish doc so the LM filter's drop flag fires on something visibly
-anomalous (not just the bottom decile of normal docs).
+BM25's tf saturation and length normalization both move scores, plus
+edge docs (empty / single-token / unique-vocab) for the LM bigram path;
+the funnel test crafts partial/out-of-order/tied event streams the real
+testdata never produces.
 """
 
 import os
