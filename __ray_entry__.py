@@ -35,7 +35,8 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   hourly crosstab), extract_entities (per-occurrence explode),
   bpe_merges / bpe_encode (BPE tokenizer training + encoding vs an
   independent serial-reference fixture), funnel_steps (per-user
-  sequential-pattern funnel) -> 74/74).
+  sequential-pattern funnel), weighted_sample (integer priority
+  sampling by document length) -> 75/75).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -334,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic stratified sample (r4): k docs per lang by LCG
         # scramble — partial top-k per key, <= k rows per (key, block)
         "sample_per_group": sampling.sample_per_group,
+        # weighted priority sample (r5, Duffield-Lund-Thorup): integer
+        # hash // weight priorities, per-block partial top-k, zero
+        # corpus shuffle — deterministic weighted draw by n_chars
+        "weighted_sample": sampling.weighted_sample,
         # HyperLogLog distinct-token registers (r4): order-independent
         # max() sketch, deterministic -> hash-verified like exact ops
         "distinct_token_sketch": textstats.distinct_token_sketch,
@@ -608,6 +613,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "term_freq": textstats.term_freq_sql(),
         "token_quantile_filter": textstats.token_quantile_filter_sql(),
         "sample_per_group": sampling.sample_per_group_sql(),
+        "weighted_sample": sampling.weighted_sample_sql(),
         "distinct_token_sketch": textstats.distinct_token_sketch_sql(),
         "countmin_sketch": textstats.countmin_sketch_sql(),
         "tfidf_top_terms": textstats.tfidf_top_terms_sql(),

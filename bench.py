@@ -308,6 +308,13 @@ def run_bench() -> dict:
         "funnel_steps", lambda: _sessions.funnel_steps(SF_DIR).count()
     )
 
+    from pytorchocr_ray.ops import sampling as _sampling
+
+    timed(
+        "weighted_sample",
+        lambda: _sampling.weighted_sample(SF_DIR).to_pandas(),
+    )
+
     from pytorchocr_ray.ops import pii as _pii
 
     _pii.synth_pii_parquet(SF_DIR)  # untimed: fixture build on first call

@@ -99,3 +99,93 @@ SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
   FROM documents)
 WHERE rn <= {k}
 """
+
+
+# --------------------------------------- weighted priority sample (r5)
+#
+# Deterministic WEIGHTED sampling without replacement — the companion to
+# sample_per_group's uniform stratified draw: pick k documents with
+# probability increasing in a weight column (here n_chars, i.e. prefer
+# longer documents), reproducibly.  This is priority sampling (Duffield,
+# Lund & Thorup, JACM 2007): each item gets priority u_i / w_i for a
+# uniform u_i and the k SMALLEST priorities win.  The uniform is the
+# deterministic LCG scramble of doc_id (shared with sample_per_group),
+# and the priority stays an exact integer (hash // weight) so the
+# DuckDB twin matches value-for-value — no float u^(1/w) drift.
+#
+# Scale shape: zero shuffle of the corpus — every block emits only its
+# own k smallest priorities (partial top-k), the close-out sees
+# <= k x blocks rows.  Zero-length docs get weight 1 (division guard,
+# both sides).
+
+
+def weighted_sample(sf_dir: str, k: int = 100):
+    """(rank, doc_id, n_chars, priority): k documents drawn by integer
+    priority sampling weighted by n_chars; rank by (priority ASC,
+    doc_id ASC).  Value-exact DuckDB twin in
+    :func:`weighted_sample_sql`."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from . import read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        if len(ids) and int(ids.max()) >= 1 << 32:
+            raise ValueError(
+                "weighted_sample requires doc_id < 2^32 (LCG product "
+                "must stay inside int64; reduce ids mod SAMPLE_M first)"
+            )
+        w = np.maximum(
+            1, np.asarray(batch["n_chars"].to_pylist(), dtype=np.int64)
+        )
+        h = (ids * SAMPLE_A + SAMPLE_C) % SAMPLE_M
+        prio = h // w
+        g = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_chars": np.asarray(
+                    batch["n_chars"].to_pylist(), dtype=np.int64
+                ),
+                "priority": prio,
+            }
+        )
+        g = g.sort_values(["priority", "doc_id"]).head(k)
+        g["g"] = np.int32(0)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def close(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["priority", "doc_id"]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_chars": g["n_chars"].to_numpy(np.int64),
+                "priority": g["priority"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")  # <= k rows per block reach this point
+        .map_groups(close, batch_format="pandas")
+    )
+
+
+def weighted_sample_sql(k: int = 100) -> str:
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY priority ASC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, n_chars, priority
+FROM (
+  SELECT doc_id, n_chars,
+         ((CAST(doc_id AS BIGINT) * {SAMPLE_A} + {SAMPLE_C})
+          % {SAMPLE_M}) // GREATEST(1, n_chars) AS priority
+  FROM documents)
+ORDER BY priority ASC, doc_id ASC
+LIMIT {k}
+"""

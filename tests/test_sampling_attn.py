@@ -45,3 +45,31 @@ def test_sampling_wrappers(ray_session):
 
     sh = seeded_shuffle(rd.range(50), seed=1).to_pandas()["id"].tolist()
     assert sorted(sh) == list(range(50)) and sh != list(range(50))
+
+
+def test_weighted_sample_parity_and_bias(ray_session):
+    """Priority-sample parity vs DuckDB on real testdata, plus the
+    property that justifies the op: the weighted draw skews toward
+    longer documents (sample mean n_chars > corpus mean)."""
+    import duckdb
+    import pandas as pd
+
+    from pytorchocr_ray.ops.sampling import weighted_sample, weighted_sample_sql
+
+    sf = "/root/testdata/sf0.001"
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    e = weighted_sample(sf).to_pandas().sort_values("rank").reset_index(drop=True)
+    o = c.sql(weighted_sample_sql()).df()
+    pd.testing.assert_frame_equal(
+        e, o[e.columns].sort_values("rank").reset_index(drop=True),
+        check_dtype=False,
+    )
+    mean_all = c.sql("SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert e["n_chars"].mean() > mean_all
+    # deterministic: a second run is identical
+    e2 = weighted_sample(sf).to_pandas().sort_values("rank").reset_index(drop=True)
+    assert e.equals(e2)
