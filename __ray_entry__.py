@@ -36,7 +36,8 @@ The driver initialises Ray itself; nothing here (or in the library) calls
   bpe_merges / bpe_encode (BPE tokenizer training + encoding vs an
   independent serial-reference fixture), funnel_steps (per-user
   sequential-pattern funnel), weighted_sample (integer priority
-  sampling by document length) -> 75/75).
+  sampling by document length), events_rollup (GROUP BY ROLLUP
+  subtotal levels) -> 76/76).
   Round 2 re-based the sketch ops (fingerprint, simhash, minhash, n-gram
   Jaccard, embedding LSH, IVF) on SQL-expressible hashes, gave the
   flagship extraction and the table branch ground-truth oracles, and made
@@ -406,6 +407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # long-to-wide pivot (r5): hourly counts per event-type column
         # from per-batch crosstab partials; unknown types -> n_other
         "events_pivot": relational.events_pivot,
+        # GROUP BY ROLLUP (r5): detail + per-type subtotal + grand
+        # total, subtotal levels re-aggregated from the detail
+        # aggregate (hour-bounded) — never extra corpus passes
+        "events_rollup": relational.events_rollup,
         # BPE tokenizer training (r5): K-bounded word-count collect ->
         # serial merge loop (how real trainers run) -> merge table;
         # oracle = INDEPENDENT serial reference fixture
@@ -634,6 +639,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "customers_without_orders": relational.customers_without_orders_sql(),
         "user_running_total": relational.user_running_total_sql(),
         "events_pivot": relational.events_pivot_sql(),
+        "events_rollup": relational.events_rollup_sql(),
         "extract_entities": pii.extract_entities_sql(sf_dir),
         "bpe_merges": bpe.bpe_merges_sql(sf_dir),
         "bpe_encode": bpe.bpe_encode_sql(sf_dir),

@@ -301,6 +301,9 @@ def run_bench() -> dict:
         lambda: relational.user_running_total(SF_DIR).count(),
     )
     timed("events_pivot", lambda: relational.events_pivot(SF_DIR).count())
+    timed(
+        "events_rollup", lambda: relational.events_rollup(SF_DIR).count()
+    )
 
     from pytorchocr_ray.ops import sessions as _sessions
 

@@ -995,3 +995,105 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
          AS sum_cents
 FROM events GROUP BY 1
 """
+
+
+# --------------------------------------------- rollup subtotals (r5)
+#
+# GROUP BY ROLLUP — the grouping-sets shape: (event_type, hour) detail
+# rows PLUS per-type subtotals PLUS a grand total in one result.  At
+# scale the subtotal levels are derived by RE-AGGREGATING THE DETAIL
+# AGGREGATE (hour-bounded, tiny), never by extra passes over the
+# corpus: one crosstab-style partial pass feeds all three levels.
+# NULL grouping keys are encoded as '' / -1 sentinels so the result
+# hash-verifies (the SQL twin COALESCEs identically).
+
+def events_rollup(sf_dir: str):
+    """(event_type, hour, n, sum_cents) at three grouping levels:
+    detail, per-type subtotal (hour = -1), grand total (type = '',
+    hour = -1).  Value-exact DuckDB twin in :func:`events_rollup_sql`."""
+    ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = (
+            df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        ).astype(np.int64)
+        df["cents"] = np.floor(
+            df["value"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_cents"] = g["sum_cents"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum(["n", "sum_cents"])
+    )
+
+    def levels(batch: pa.Table) -> pa.Table:
+        # batch = a slice of the (type, hour)-bounded detail aggregate;
+        # emit detail rows plus RE-AGGREGATION PARTIALS for the rollup
+        # levels keyed by the sentinels (closed out by one tiny groupby)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "hour": batch["hour"].to_pylist(),
+                "n": batch["sum(n)"].to_pylist(),
+                "sum_cents": batch["sum(sum_cents)"].to_pylist(),
+            }
+        )
+        by_type = df.groupby("event_type", as_index=False)[
+            ["n", "sum_cents"]
+        ].sum()
+        by_type["hour"] = np.int64(-1)
+        total = pd.DataFrame(
+            {
+                "event_type": [""],
+                "hour": np.array([-1], dtype=np.int64),
+                "n": [df["n"].sum()],
+                "sum_cents": [df["sum_cents"].sum()],
+            }
+        )
+        out = pd.concat(
+            [df, by_type[df.columns], total[df.columns]], ignore_index=True
+        )
+        out["hour"] = out["hour"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_cents"] = out["sum_cents"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def close(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": batch["hour"],
+                "n": pc.cast(batch["sum(n)"], pa.int64()),
+                "sum_cents": pc.cast(batch["sum(sum_cents)"], pa.int64()),
+            }
+        )
+
+    return (
+        detail.map_batches(levels, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum(["n", "sum_cents"])
+        .map_batches(close, batch_format="pyarrow")
+    )
+
+
+def events_rollup_sql() -> str:
+    return """
+SELECT COALESCE(event_type, '') AS event_type,
+       COALESCE(hour, -1) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+GROUP BY ROLLUP (event_type, hour)
+"""

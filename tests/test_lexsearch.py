@@ -409,3 +409,31 @@ def test_funnel_steps_parity_and_edges(ray_session, tmp_path):
     assert by == {1: 3, 2: 1, 3: 2, 4: 1, 5: 0, 6: 2}
     # absent steps are -1 on both sides
     assert e.set_index("user_id").loc[2, "t2_us"] == -1
+
+
+def test_events_rollup_parity(ray_session):
+    """ROLLUP parity: detail + per-type subtotal + grand total levels
+    reconcile internally and against GROUP BY ROLLUP."""
+    from pytorchocr_ray.ops.relational import events_rollup, events_rollup_sql
+
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    e = events_rollup(SF_DIR).to_pandas()
+    o = c.sql(events_rollup_sql()).df()
+    ks = list(e.columns)
+    pd.testing.assert_frame_equal(
+        e.sort_values(ks).reset_index(drop=True),
+        o[ks].sort_values(ks).reset_index(drop=True),
+        check_dtype=False,
+    )
+    detail = e[(e["event_type"] != "") & (e["hour"] != -1)]
+    subtot = e[(e["event_type"] != "") & (e["hour"] == -1)]
+    grand = e[(e["event_type"] == "") & (e["hour"] == -1)]
+    assert len(grand) == 1
+    n_total = c.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert int(grand["n"].iloc[0]) == n_total
+    assert int(detail["n"].sum()) == n_total == int(subtot["n"].sum())
+    assert int(detail["sum_cents"].sum()) == int(grand["sum_cents"].iloc[0])
